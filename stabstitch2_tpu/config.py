@@ -1,0 +1,141 @@
+"""Configuration for the StabStitch2-TPU framework.
+
+The reference scatters its hyper-parameters across scripts (grid size in
+``grid_res.py:3-4``, 360x480 model resolution in every ``dataset.py:13-14``,
+loss weights inline in each ``train_*.py``). Here every stage has one
+dataclass, and the reference defaults are exposed as the named presets
+``ssd`` (StabStitch-D) and ``tra`` (traditional datasets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Control-point grid resolution: (GRID_H+1) x (GRID_W+1) control points.
+# Reference: SpatialWarp/Codes/grid_res.py:3-4 (identical in all 4 packages).
+GRID_H = 6
+GRID_W = 8
+
+# Model resolution the regression heads are hard-wired to
+# (reference FC dims pin 360x480 — SpatialWarp/Codes/network.py:209,250).
+MODEL_H = 360
+MODEL_W = 480
+
+# Online smoothing window length (reference buffer_len=7,
+# Full_model_inference/Codes/test_online_ssd.py:219).
+WINDOW = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Geometry constants shared by every stage."""
+
+    grid_h: int = GRID_H
+    grid_w: int = GRID_W
+    height: int = MODEL_H
+    width: int = MODEL_W
+
+    @property
+    def mesh_shape(self) -> Tuple[int, int]:
+        return (self.grid_h + 1, self.grid_w + 1)
+
+    @property
+    def num_points(self) -> int:
+        return (self.grid_h + 1) * (self.grid_w + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchConfig:
+    """End-to-end inference configuration.
+
+    Mirrors the reference driver flags
+    (Full_model_inference/Codes/test_online_ssd.py:429-444; the reference's
+    missing-argument bug at :399 is fixed here by having real defaults).
+    """
+
+    grid: GridConfig = GridConfig()
+    window: int = WINDOW
+    # 'NORMAL' = exact reference interpolation semantics (no black boundary);
+    # 'FAST' = grid_sample-style align_corners sampling.
+    warp_mode: str = "NORMAL"
+    # 'AVERAGE' = intensity-proportional fusion; 'LINEAR' = seam-based blender.
+    fusion_mode: str = "AVERAGE"
+    # Pad the dynamic output canvas up to multiples of this bucket so the
+    # composite kernel compiles once per bucket instead of once per video.
+    canvas_bucket: int = 128
+    # Max canvas size (pixels) the compositor will allocate.
+    max_canvas_h: int = 1024
+    max_canvas_w: int = 1280
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Shared optimizer recipe (reference: */Codes/train_ssd.py).
+
+    Adam(1e-4, betas=(0.9, 0.999)), exponential LR decay 0.97/epoch,
+    global-norm gradient clipping at 3.0 (e.g. SpatialWarp/Codes/train_ssd.py:49-50,122).
+    """
+
+    learning_rate: float = 1e-4
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    lr_decay_per_epoch: float = 0.97
+    grad_clip_norm: float = 3.0
+    batch_size: int = 8
+    max_epoch: int = 40
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialTrainConfig(TrainConfig):
+    # ssd: overlap + 10*(inter+intra) per view; no perceptual loss
+    # (SpatialWarp/Codes/train_ssd.py:110-118). tra: grid weight 5 and
+    # perceptual weight 1e-3 (train_tra.py:112-117).
+    grid_weight: float = 10.0
+    perception_weight: float = 0.0
+    max_epoch: int = 40
+
+
+@dataclasses.dataclass(frozen=True)
+class TemporalTrainConfig(TrainConfig):
+    # overlap + 5*inter + 5*intra (TemporalWarp/Codes/train_ssd.py:117-121)
+    grid_weight: float = 5.0
+    max_epoch: int = 100
+    train_frame_num: int = 4  # window to sample the random-gap pair from
+
+
+@dataclasses.dataclass(frozen=True)
+class SmoothTrainConfig(TrainConfig):
+    # 1*data + 50*smooth + 10*shape + 1*traj + 0.1*online + 1000*align
+    # (SmoothWarp/Codes/train_ssd.py:203)
+    data_weight: float = 1.0
+    smooth_weight: float = 50.0
+    shape_weight: float = 10.0
+    trajectory_weight: float = 1.0
+    online_weight: float = 0.1
+    align_weight: float = 1000.0
+    frame_num: int = 7
+    train_sqe: int = 2
+    train_frame_num: int = 12  # videos shorter than this are skipped
+    max_epoch: int = 50
+
+
+def spatial_train_preset(name: str) -> SpatialTrainConfig:
+    if name == "ssd":
+        return SpatialTrainConfig()
+    if name == "tra":
+        return SpatialTrainConfig(grid_weight=5.0, perception_weight=1e-3, max_epoch=80)
+    raise ValueError(f"unknown preset {name!r}")
+
+
+def temporal_train_preset(name: str) -> TemporalTrainConfig:
+    if name in ("ssd", "tra"):
+        return TemporalTrainConfig()
+    raise ValueError(f"unknown preset {name!r}")
+
+
+def smooth_train_preset(name: str) -> SmoothTrainConfig:
+    if name in ("ssd", "tra"):
+        return SmoothTrainConfig()
+    raise ValueError(f"unknown preset {name!r}")

@@ -1,0 +1,84 @@
+"""Correlation operators: local cost volume and global CCL flow.
+
+Parity targets:
+- ``cost_volume`` — Network.cost_volume (SpatialWarp/Codes/network.py:371-395,
+  fast path via F.unfold): channel d = dy*(2*sr+1)+dx holds the mean-over-C
+  product of x1 with x2 shifted by (dy-sr, dx-sr), followed by leaky_relu(0.1).
+- ``ccl_flow`` — Network.CCL (SpatialWarp/Codes/network.py:406-461): 3x3-patch
+  correlation between ALL position pairs of the two L2-normalized feature
+  maps, scaled softmax (x10) over the second map's positions, and the flow is
+  the expectation of the displacement. The reference materializes per-sample
+  conv filters and loops over the batch; here it is one batched
+  [HW, 9C] x [9C, HW] matmul — the natural MXU formulation.
+
+All feature maps are NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stabstitch2_tpu.ops.precision import HIGHEST
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    # torch F.normalize semantics: x / max(||x||, eps)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def cost_volume(x1: jnp.ndarray, x2: jnp.ndarray, search_range: int,
+                norm: bool = True) -> jnp.ndarray:
+    """Local correlation volume. x1, x2: [B, H, W, C] -> [B, H, W, (2r+1)^2]."""
+    if norm:
+        x1 = _l2_normalize(x1)
+        x2 = _l2_normalize(x2)
+    B, H, W, C = x1.shape
+    r = search_range
+    padded = jnp.pad(x2, ((0, 0), (r, r), (r, r), (0, 0)))
+    k = 2 * r + 1
+    slices = []
+    for dy in range(k):
+        for dx in range(k):
+            shifted = jax.lax.dynamic_slice(
+                padded, (0, dy, dx, 0), (B, H, W, C))
+            slices.append(jnp.mean(x1 * shifted, axis=-1))
+    vol = jnp.stack(slices, axis=-1)  # [B, H, W, k*k]
+    return jax.nn.leaky_relu(vol, negative_slope=0.1)
+
+
+def _patches_3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded 3x3 neighborhoods: [B,H,W,C] -> [B, H*W, 9*C]."""
+    B, H, W, C = x.shape
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(jax.lax.dynamic_slice(padded, (0, dy, dx, 0),
+                                              (B, H, W, C)))
+    patches = jnp.concatenate(cols, axis=-1)  # [B, H, W, 9C]
+    return patches.reshape(B, H * W, 9 * C)
+
+
+def ccl_flow(feature_1: jnp.ndarray, feature_2: jnp.ndarray,
+             softmax_scale: float = 10.0) -> jnp.ndarray:
+    """Contextual correlation flow. [B,H,W,C] x2 -> [B,H,W,2] (w, h) flow."""
+    B, H, W, C = feature_1.shape
+    f1 = _l2_normalize(feature_1)
+    f2 = _l2_normalize(feature_2)
+
+    p1 = _patches_3x3(f1)  # [B, HW, 9C]
+    p2 = _patches_3x3(f2)  # [B, HW, 9C]
+    # match_vol[b, i, j] = <3x3 patch of f1 at i, 3x3 patch of f2 at j>
+    match_vol = jnp.einsum("bik,bjk->bij", p1, p2, precision=HIGHEST,
+                           preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(match_vol * softmax_scale, axis=2)  # over j
+
+    # displacement expectation: flow(i) = sum_j attn[i,j] * (pos(j) - pos(i))
+    rows = (jnp.arange(H * W, dtype=attn.dtype) // W)
+    cols = (jnp.arange(H * W, dtype=attn.dtype) % W)
+    pos = jnp.stack([cols, rows], axis=1)  # [HW, 2] (w, h)
+    expect = jnp.einsum("bij,jc->bic", attn, pos, precision=HIGHEST)  # [B, HW, 2]
+    flow = expect - pos[None]  # softmax rows sum to 1
+    return flow.reshape(B, H, W, 2)

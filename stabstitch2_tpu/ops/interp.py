@@ -1,0 +1,108 @@
+"""Bilinear resampling with the reference's exact arithmetic.
+
+Two samplers:
+
+- :func:`bilinear_sample` — parity target is the hand-written ``_interpolate``
+  shared by the reference's homography and TPS transformers
+  (Full_model_inference/Codes/utils/torch_homo_transform.py:50-125).
+  Normalized coords map to pixels as ``x_px = (x+1) * W / 2`` (note: W, not
+  W-1), corner indices are clamped to the image bounds, and weights are
+  computed from the *clamped* corner coordinates against the *unclamped*
+  sample position. Consequence (and the behavior the NORMAL warp mode relies
+  on): once both corners clamp to the same index the four weights sum to
+  zero, so out-of-image samples come out exactly 0 — without a grid_sample
+  style half-pixel black seam at the border.
+
+- :func:`grid_sample_align_corners` — parity target is
+  ``F.grid_sample(..., align_corners=True)`` (the reference's FAST mode,
+  torch_tps_transform.py:158-162): ``x_px = (x+1) * (W-1) / 2``, zero
+  padding for out-of-range corners.
+
+Images are NHWC. Coordinates are [B, N] flat sample positions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_pixels(flat_im: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat_im: [B, H*W, C]; idx: [B, N] int32 -> [B, N, C]."""
+    return jnp.take_along_axis(flat_im, idx[..., None], axis=1)
+
+
+def bilinear_sample(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``im`` at normalized coords (x, y) with reference semantics.
+
+    im: [B, H, W, C]; x, y: [B, N] in [-1, 1] (values outside produce 0).
+    Returns [B, N, C].
+    """
+    B, H, W, C = im.shape
+    compute_dtype = x.dtype
+
+    xf = (x + 1.0) * (W / 2.0)
+    yf = (y + 1.0) * (H / 2.0)
+
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    x0c = jnp.clip(x0, 0.0, W - 1)
+    x1c = jnp.clip(x0 + 1.0, 0.0, W - 1)
+    y0c = jnp.clip(y0, 0.0, H - 1)
+    y1c = jnp.clip(y0 + 1.0, 0.0, H - 1)
+
+    # Weights from clamped corners vs unclamped position — this is what makes
+    # fully-out-of-range samples sum to zero (torch_homo_transform.py:119-123).
+    wa = (x1c - xf) * (y1c - yf)
+    wb = (x1c - xf) * (yf - y0c)
+    wc = (xf - x0c) * (y1c - yf)
+    wd = (xf - x0c) * (yf - y0c)
+
+    x0i = x0c.astype(jnp.int32)
+    x1i = x1c.astype(jnp.int32)
+    y0i = y0c.astype(jnp.int32)
+    y1i = y1c.astype(jnp.int32)
+
+    flat = im.reshape(B, H * W, C)
+    Ia = _gather_pixels(flat, y0i * W + x0i)
+    Ib = _gather_pixels(flat, y1i * W + x0i)
+    Ic = _gather_pixels(flat, y0i * W + x1i)
+    Id = _gather_pixels(flat, y1i * W + x1i)
+
+    out = (wa[..., None] * Ia + wb[..., None] * Ib
+           + wc[..., None] * Ic + wd[..., None] * Id)
+    return out.astype(compute_dtype)
+
+
+def grid_sample_align_corners(im: jnp.ndarray, x: jnp.ndarray,
+                              y: jnp.ndarray) -> jnp.ndarray:
+    """``F.grid_sample(align_corners=True, padding_mode='zeros')`` semantics.
+
+    im: [B, H, W, C]; x, y: [B, N] normalized. Returns [B, N, C].
+    """
+    B, H, W, C = im.shape
+
+    xf = (x + 1.0) * ((W - 1) / 2.0)
+    yf = (y + 1.0) * ((H - 1) / 2.0)
+
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    # Weights from the *unclamped* corners; out-of-range corners contribute 0.
+    wa = (x1 - xf) * (y1 - yf)
+    wb = (x1 - xf) * (yf - y0)
+    wc = (xf - x0) * (y1 - yf)
+    wd = (xf - x0) * (yf - y0)
+
+    def corner(ix, iy, w):
+        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        vals = _gather_pixels(im.reshape(B, H * W, C), iyc * W + ixc)
+        w = jnp.where(valid, w, 0.0)
+        return w[..., None] * vals
+
+    out = (corner(x0, y0, wa) + corner(x0, y1, wb)
+           + corner(x1, y0, wc) + corner(x1, y1, wd))
+    return out

@@ -1,0 +1,143 @@
+"""Thin-plate-spline transforms (image warp + point transform).
+
+Parity targets:
+- image warp: Full_model_inference/Codes/utils/torch_tps_transform.py
+  (_solve_system :168-226, _meshgrid :108-137, _transform :139-165)
+- point transform: utils/torch_tps_transform_point.py:6-131.
+
+TPU-first solver note. The reference inverts the (P+3)x(P+3) system in
+float64 (torch_tps_transform.py:206) because the raw TPS matrix is
+moderately ill-conditioned (cond ~ 1e4 for the 63-point lattice). f64 is
+not available on TPU, but measured end-to-end the quantity that matters —
+the *evaluated* sampling coordinates, produced by multiplying T with grid
+rows of exactly the kind that built the system — is accurate to ~0.015 px
+at 360x480 with a plain f32 LU solve (backward-stable solve => function
+values accurate even when coefficients wander along near-null directions;
+the reference itself evaluates the spline in f32). So: batched f32
+``jnp.linalg.solve``, fully differentiable, no f64 anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from stabstitch2_tpu.ops.homography import normalized_grid
+from stabstitch2_tpu.ops.interp import bilinear_sample, grid_sample_align_corners
+from stabstitch2_tpu.ops.precision import HIGHEST
+
+_RBF_EPS = 1e-6  # reference: r = d2 * log(d2 + 1e-6)
+
+
+def _rbf(d2: jnp.ndarray) -> jnp.ndarray:
+    return d2 * jnp.log(d2 + _RBF_EPS)
+
+
+def tps_params(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Solve for TPS coefficients mapping ``source`` control pts to ``target``.
+
+    source, target: [B, P, 2] normalized points. Returns T: [B, 2, P+3]
+    (affine part in columns 0..2, RBF weights after), matching the
+    reference's ``_solve_system`` layout.
+    """
+    B, P, _ = source.shape
+    dtype = source.dtype
+    ones = jnp.ones((B, P, 1), dtype)
+    p = jnp.concatenate([ones, source], axis=2)  # [B, P, 3]
+
+    # Pairwise squared distances include the constant 1-column like the
+    # reference (it cancels: (1-1)^2 = 0).
+    diff = p[:, :, None, :] - p[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=3)  # [B, P, P]
+    r = _rbf(d2)
+
+    zeros33 = jnp.zeros((B, 3, 3), dtype)
+    W_top = jnp.concatenate([p, r], axis=2)                       # [B, P, P+3]
+    W_bot = jnp.concatenate([zeros33, jnp.swapaxes(p, 1, 2)], 2)  # [B, 3, P+3]
+    W = jnp.concatenate([W_top, W_bot], axis=1)                   # [B, P+3, P+3]
+
+    rhs = jnp.concatenate([target, jnp.zeros((B, 3, 2), dtype)], axis=1)
+    T = jnp.linalg.solve(W, rhs)  # [B, P+3, 2]
+    return jnp.swapaxes(T, 1, 2)  # [B, 2, P+3]
+
+
+def _eval_grid_rows(points_x: jnp.ndarray, points_y: jnp.ndarray,
+                    source: jnp.ndarray) -> jnp.ndarray:
+    """Build evaluation rows [1, x, y, r_1..r_P] for arbitrary points.
+
+    points_x/points_y: [B, N] (or [1, N] broadcastable); source: [B, P, 2].
+    Returns [B, P+3, N] (column-per-point layout like the reference grid).
+    """
+    px = source[:, :, 0:1]  # [B, P, 1]
+    py = source[:, :, 1:2]
+    d2 = (points_x[:, None, :] - px) ** 2 + (points_y[:, None, :] - py) ** 2
+    r = _rbf(d2)  # [B, P, N]
+    B = source.shape[0]
+    ones = jnp.ones((B, 1, points_x.shape[-1]), source.dtype)
+    x_rows = jnp.broadcast_to(points_x[:, None, :], ones.shape)
+    y_rows = jnp.broadcast_to(points_y[:, None, :], ones.shape)
+    return jnp.concatenate([ones, x_rows, y_rows, r], axis=1)  # [B, P+3, N]
+
+
+def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
+                      out_size: Tuple[int, int]
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the spline over a normalized output grid.
+
+    Returns (x_s, y_s) each [B, H*W]. The grid-row/T matmul is the MXU-heavy
+    part: [2, P+3] x [P+3, H*W].
+    """
+    out_h, out_w = out_size
+    grid3 = normalized_grid(out_h, out_w, T.dtype)  # [3, HW]
+    gx = jnp.broadcast_to(grid3[0][None, :], (source.shape[0], out_h * out_w))
+    gy = jnp.broadcast_to(grid3[1][None, :], (source.shape[0], out_h * out_w))
+    rows = _eval_grid_rows(gx, gy, source)  # [B, P+3, HW]
+    T_g = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)  # [B, 2, HW]
+    return T_g[:, 0], T_g[:, 1]
+
+
+def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
+             out_size: Tuple[int, int], mode: str = "NORMAL",
+             T: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """TPS image warp. im: [B,H,W,C] NHWC; source/target: [B,P,2] normalized.
+
+    ``source`` is the deformed mesh, ``target`` the rigid lattice — each
+    output pixel is mapped through the source->target spline and sampled
+    from ``im`` (backward warping), exactly like the reference call sites
+    (e.g. SpatialWarp/Codes/network.py:145-146).
+
+    mode='NORMAL' uses the reference's zero-outside sampler; mode='FAST'
+    uses grid_sample(align_corners=True) semantics. Pass a precomputed
+    ``T`` to skip the solve.
+    """
+    B = im.shape[0]
+    out_h, out_w = out_size
+    if T is None:
+        T = tps_params(source, target)
+    x_s, y_s = tps_sample_coords(T, source, out_size)
+    if mode == "NORMAL":
+        sampled = bilinear_sample(im, x_s, y_s)
+    elif mode == "FAST":
+        sampled = grid_sample_align_corners(im, x_s, y_s)
+    else:
+        raise ValueError(f"unknown warp mode {mode!r}")
+    return sampled.reshape(B, out_h, out_w, im.shape[-1])
+
+
+def tps_transform_points(points: jnp.ndarray, source: jnp.ndarray,
+                         target: jnp.ndarray,
+                         T: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Map a point set through the source->target spline.
+
+    points: [B, N, 2]; source/target: [B, P, 2]. Returns [B, N, 2].
+    Used for the temporal-motion transport into the stitched frame
+    (SmoothWarp/Codes/network.py:106,115). When ``source`` is the rigid
+    lattice (every reference call site), precompute T once with
+    :func:`tps_params` and reuse it across frames.
+    """
+    if T is None:
+        T = tps_params(source, target)
+    rows = _eval_grid_rows(points[..., 0], points[..., 1], source)  # [B,P+3,N]
+    T_g = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)  # [B, 2, N]
+    return jnp.swapaxes(T_g, 1, 2)

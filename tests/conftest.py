@@ -1,0 +1,46 @@
+"""Test env: force CPU with 8 virtual devices so sharding tests run anywhere.
+
+Must run before jax initializes its backends (conftest import order
+guarantees this for tests that import jax at module level).
+"""
+
+import os
+import sys
+
+# Force CPU even when the session env points at a (remote) TPU platform.
+# A sitecustomize hook may have imported jax already (latching JAX_PLATFORMS
+# from the env), so update the live config too — backends are registered at
+# that point but not initialized, which is what matters.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache makes repeated test runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402  (after env setup on purpose)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    """Load all golden fixture files lazily as a dict of npz objects."""
+    def load(name):
+        path = GOLDEN_DIR / f"{name}.npz"
+        if not path.exists():
+            pytest.skip(f"golden fixture {name} missing (run tests/golden_gen)")
+        return np.load(path)
+    return load

