@@ -1,0 +1,121 @@
+"""Model-block parity (vs torch oracles) and shape/structure tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stabstitch2_tpu.models import SpatialNet, TemporalNet, SmoothNet
+from stabstitch2_tpu.models.backbone import ConvHead, MLPHead, ResNetStage1
+from stabstitch2_tpu.models.smooth import smooth_outputs
+from stabstitch2_tpu.utils import torch_import as ti
+from stabstitch2_tpu.config import GRID_H, GRID_W
+
+
+def unpack_sd(golden):
+    return {k[len("sd::"):]: golden[k] for k in golden.files if k.startswith("sd::")}
+
+
+class TestStage1Parity:
+    def test_converted_weights_match_torch(self, goldens):
+        g = goldens("stage1_parity")
+        sd = unpack_sd(g)
+        params, stats = ti.convert_state_dict(sd, ti._stage1_entries(
+            "feature_extractor_stage1", "stage1"))
+        net = ResNetStage1()
+        x = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1)))
+        out = net.apply({"params": params["stage1"],
+                         "batch_stats": stats["stage1"]}, x, False)
+        ref = np.transpose(g["y"], (0, 2, 3, 1))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
+class TestHeadParity:
+    def test_conv_fc_head(self, goldens):
+        g = goldens("head_parity")
+        sd = unpack_sd(g)
+        mapping = (ti._conv_head_entries("regressNet2_part1", "conv", 4)
+                   + ti._mlp_entries("regressNet2_part2", "fc"))
+        params, _ = ti.convert_state_dict(sd, mapping)
+        conv = ConvHead((64, 128, 128, 256))
+        fc = MLPHead((1024, 512, 126))
+        x = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1)))
+        mid = conv.apply({"params": params["conv"]}, x)
+        out = fc.apply({"params": params["fc"]}, mid)
+        np.testing.assert_allclose(np.asarray(out), g["y"], rtol=2e-3, atol=2e-3)
+
+
+class TestSmoothParity:
+    def test_full_net_vs_torch(self, goldens):
+        g = goldens("smooth_parity")
+        sd = unpack_sd(g)
+        params, _ = ti.convert_state_dict(sd, ti.smooth_mapping())
+        net = SmoothNet()
+        outs = net.apply({"params": params},
+                         jnp.asarray(g["smesh1"]), jnp.asarray(g["smesh2"]),
+                         jnp.asarray(g["tsmotion1"]), jnp.asarray(g["tsmotion2"]))
+        d = smooth_outputs(outs)
+        delta1 = np.asarray(d["smooth_path1"] - d["ori_path1"])
+        delta2 = np.asarray(d["smooth_path2"] - d["ori_path2"])
+        np.testing.assert_allclose(delta1, g["y"][..., 0:2], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(delta2, g["y"][..., 2:4], rtol=1e-3, atol=1e-4)
+        # cumsum path assembly
+        np.testing.assert_allclose(np.asarray(d["ori_path1"]),
+                                   np.cumsum(g["tsmotion1"], axis=1), atol=1e-5)
+
+
+class TestShapes:
+    @pytest.fixture(scope="class")
+    def spatial(self):
+        net = SpatialNet()
+        rng = jax.random.PRNGKey(0)
+        img = jnp.zeros((1, 128, 160, 3))
+        variables = net.init(rng, img, img, False)
+        return net, variables
+
+    def test_spatial_forward_shapes(self, spatial):
+        net, variables = spatial
+        img1 = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 160, 3))
+        img2 = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 160, 3))
+        off1, mref, mtgt = net.apply(variables, img1, img2, False)
+        assert off1.shape == (2, 8)
+        assert mref.shape == (2, GRID_H + 1, GRID_W + 1, 2)
+        assert mtgt.shape == (2, GRID_H + 1, GRID_W + 1, 2)
+        assert bool(jnp.all(jnp.isfinite(off1)))
+
+    def test_spatial_full_res_shapes_via_eval_shape(self):
+        # like the reference, FC widths are pinned by the init resolution;
+        # at 360x480 the stage-1 head flattens 128*2*3=768 and stage-2 heads
+        # 256*2*3=1536 (SpatialWarp/Codes/network.py:209,250)
+        net = SpatialNet()
+        img = jax.ShapeDtypeStruct((1, 360, 480, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda r, a, b: net.init(r, a, b, False), jax.random.PRNGKey(0),
+            img, img)
+        p = variables["params"]
+        assert p["regress1_fc"]["fc0"]["kernel"].shape == (768, 512)
+        assert p["regress2_fc_ref"]["fc0"]["kernel"].shape == (1536, 1024)
+        out = jax.eval_shape(lambda v, a, b: net.apply(v, a, b, False),
+                             variables, img, img)
+        assert out[0].shape == (1, 8)
+
+    def test_temporal_clip_motions(self):
+        from stabstitch2_tpu.models.temporal import clip_motions
+        net = TemporalNet()
+        frames = jax.random.normal(jax.random.PRNGKey(0), (4, 128, 160, 3))
+        variables = net.init(jax.random.PRNGKey(1), frames[:1], frames[:1], False)
+        motions = clip_motions(net, variables, frames)
+        assert motions.shape == (4, GRID_H + 1, GRID_W + 1, 2)
+        np.testing.assert_allclose(np.asarray(motions[0]), 0.0)
+        assert not np.allclose(np.asarray(motions[1]), 0.0)
+
+
+class TestConverterStrict:
+    def test_spatial_mapping_consumes_reference_layout(self, goldens):
+        # the stage1 fixture uses exactly the reference's Sequential naming;
+        # strict conversion must consume every key
+        g = goldens("stage1_parity")
+        sd = unpack_sd(g)
+        ti.convert_state_dict(sd, ti._stage1_entries(
+            "feature_extractor_stage1", "stage1"), strict=True)
