@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from stabstitch2_tpu.ops.homography import normalized_grid
@@ -60,6 +61,33 @@ def tps_params(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     rhs = jnp.concatenate([target, jnp.zeros((B, 3, 2), dtype)], axis=1)
     T = jnp.linalg.solve(W, rhs)  # [B, P+3, 2]
     return jnp.swapaxes(T, 1, 2)  # [B, 2, P+3]
+
+
+def tps_params_shared_source(source: jnp.ndarray,
+                             targets: jnp.ndarray) -> jnp.ndarray:
+    """TPS coefficients for ONE source lattice and MANY targets.
+
+    source: [P, 2]; targets: [B, P, 2]. Returns T: [B, 2, P+3].
+
+    Every reference call site of the point transform uses the rigid lattice
+    as the source (e.g. SmoothWarp/Codes/network.py:106,115), so the system
+    matrix is constant: factor once, back-substitute a batch of right-hand
+    sides — O(P^3 + B*P^2) instead of B separate O(P^3) solves.
+    """
+    P = source.shape[0]
+    dtype = source.dtype
+    B = targets.shape[0]
+    p = jnp.concatenate([jnp.ones((P, 1), dtype), source], axis=1)  # [P, 3]
+    diff = p[:, None, :] - p[None, :, :]
+    r = _rbf(jnp.sum(diff * diff, axis=2))
+    W = jnp.zeros((P + 3, P + 3), dtype)
+    W = W.at[:P, :3].set(p).at[:P, 3:].set(r).at[P:, 3:].set(p.T)
+    rhs = jnp.concatenate([targets, jnp.zeros((B, 3, 2), dtype)], axis=1)
+    # one factorization, batched solve over the stacked rhs columns
+    lu, piv = jax.scipy.linalg.lu_factor(W)
+    flat = jnp.moveaxis(rhs, 0, 2).reshape(P + 3, 2 * B)  # cols = (xy, batch)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), flat)
+    return jnp.transpose(sol.reshape(P + 3, 2, B), (2, 1, 0))  # [B, 2, P+3]
 
 
 def _eval_grid_rows(points_x: jnp.ndarray, points_y: jnp.ndarray,

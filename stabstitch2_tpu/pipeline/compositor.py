@@ -1,0 +1,151 @@
+"""Panorama compositor: global canvas + hi-res TPS warps + fusion.
+
+Parity target: ``get_stable_sqe`` (Full_model_inference/Codes/test_online_ssd.py:96-154):
+meshes (at 360x480 model scale) are rescaled to the input resolution, a
+video-global canvas is sized from the min/max mesh extents (constant output
+size per video), every frame's two views are TPS-warped onto the canvas and
+fused (AVERAGE or LINEAR).
+
+TPU-first design:
+- the canvas extent is data-dependent -> computed from the (tiny) meshes,
+  pulled to host once per video, and padded up to a static bucket so the
+  big warp kernel compiles once per bucket, not per video;
+- frames are warped in chunks of [2*chunk] images (both views batched,
+  like the reference's bs=2 concat but across many frames at once);
+- fusion happens on-device; only final uint8 panoramas return to host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabstitch2_tpu.config import MODEL_H, MODEL_W, StitchConfig
+from stabstitch2_tpu.ops.blend import average_fusion, linear_fusion
+from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
+from stabstitch2_tpu.ops.tps import tps_params, tps_warp
+
+
+@dataclasses.dataclass(frozen=True)
+class Canvas:
+    """Static (bucketed) canvas geometry for one video."""
+
+    out_h: int          # true canvas size (before bucketing)
+    out_w: int
+    pad_h: int          # bucketed size used for jit shapes
+    pad_w: int
+    x_min: float
+    y_min: float
+
+
+def scale_meshes(mesh: jnp.ndarray, img_h: int, img_w: int,
+                 model_h: int = MODEL_H, model_w: int = MODEL_W) -> jnp.ndarray:
+    """Rescale model-resolution meshes to the true frame resolution."""
+    sx = img_w / float(model_w)
+    sy = img_h / float(model_h)
+    return mesh * jnp.asarray([sx, sy], mesh.dtype)
+
+
+def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
+                   bucket: int = 128) -> Canvas:
+    """Canvas from global mesh extents. mesh1/2: [T, GH+1, GW+1, 2] hi-res px.
+
+    Host-side (tiny arrays): the dynamic extent becomes static jit shapes via
+    bucketing.
+    """
+    m = np.asarray(jnp.stack([mesh1, mesh2]))
+    x_min, x_max = float(m[..., 0].min()), float(m[..., 0].max())
+    y_min, y_max = float(m[..., 1].min()), float(m[..., 1].max())
+    out_w = max(int(np.ceil(x_max - x_min)), 8)
+    out_h = max(int(np.ceil(y_max - y_min)), 8)
+    pad_w = int(np.ceil(out_w / bucket)) * bucket
+    pad_h = int(np.ceil(out_h / bucket)) * bucket
+    return Canvas(out_h=out_h, out_w=out_w, pad_h=pad_h, pad_w=pad_w,
+                  x_min=x_min, y_min=y_min)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
+                                             "fusion_mode"))
+def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
+                     warp_mode: str, fusion_mode: str):
+    """Warp+fuse a chunk of frames.
+
+    img1/img2: [B, H, W, 3] raw 0..255; mesh1/mesh2: [B, GH+1, GW+1, 2]
+    hi-res pixel meshes; offset: [2] (x_min, y_min). Returns [B, oh, ow, 3].
+    """
+    B, H, W, _ = img1.shape
+    oh, ow = out_size
+    translated1 = mesh1 - offset
+    translated2 = mesh2 - offset
+    norm1 = mesh_points(normalize_mesh(translated1, oh, ow))
+    norm2 = mesh_points(normalize_mesh(translated2, oh, ow))
+    rigid = rigid_mesh(H, W, dtype=img1.dtype)
+    norm_rigid = mesh_points(normalize_mesh(rigid, H, W))[None]
+    norm_rigid = jnp.broadcast_to(norm_rigid, norm1.shape)
+
+    mask = jnp.ones((B, H, W, 1), img1.dtype)
+    stack = jnp.concatenate([
+        jnp.concatenate([img1, mask], -1),
+        jnp.concatenate([img2, mask], -1)], axis=0)
+    source = jnp.concatenate([norm1, norm2], axis=0)
+    target = jnp.concatenate([norm_rigid, norm_rigid], axis=0)
+    T = tps_params(source, target)
+    warped = tps_warp(stack, source, target, (oh, ow), mode=warp_mode, T=T)
+    w1, w2 = warped[:B], warped[B:]
+
+    if fusion_mode == "AVERAGE":
+        fused = average_fusion(w1[..., :3], w2[..., :3])
+    else:
+        fused = jax.vmap(linear_fusion)(w1[..., :3], w2[..., :3],
+                                        w1[..., 3], w2[..., 3])
+    return fused
+
+
+def composite_video(img1: np.ndarray, img2: np.ndarray,
+                    smooth_mesh1: jnp.ndarray, smooth_mesh2: jnp.ndarray,
+                    config: Optional[StitchConfig] = None,
+                    chunk: int = 8,
+                    model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
+                    ) -> Tuple[np.ndarray, Canvas]:
+    """Composite a whole video.
+
+    img1/img2: [T, H, W, 3] uint8/float 0..255 (host); smooth_mesh*:
+    [T, GH+1, GW+1, 2] model-resolution meshes. Returns (frames
+    [T, out_h, out_w, 3] float32, canvas).
+    """
+    config = config or StitchConfig()
+    T, H, W, _ = img1.shape
+    m1 = scale_meshes(smooth_mesh1, H, W, *model_size)
+    m2 = scale_meshes(smooth_mesh2, H, W, *model_size)
+    canvas = compute_canvas(m1, m2, config.canvas_bucket)
+    if canvas.pad_h > config.max_canvas_h or canvas.pad_w > config.max_canvas_w:
+        raise ValueError(
+            f"canvas {canvas.pad_h}x{canvas.pad_w} exceeds configured max "
+            f"{config.max_canvas_h}x{config.max_canvas_w}")
+    offset = jnp.asarray([canvas.x_min, canvas.y_min], jnp.float32)
+
+    outs = []
+    for s in range(0, T, chunk):
+        e = min(s + chunk, T)
+        # keep the last chunk the same shape as the others (pad + crop) so
+        # only one compiled program exists per canvas bucket
+        pad = chunk - (e - s)
+        sl = slice(s, e)
+        i1 = jnp.asarray(img1[sl], jnp.float32)
+        i2 = jnp.asarray(img2[sl], jnp.float32)
+        mm1, mm2 = m1[sl], m2[sl]
+        if pad:
+            i1 = jnp.pad(i1, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            i2 = jnp.pad(i2, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            mm1 = jnp.concatenate([mm1, jnp.tile(mm1[-1:], (pad, 1, 1, 1))], 0)
+            mm2 = jnp.concatenate([mm2, jnp.tile(mm2[-1:], (pad, 1, 1, 1))], 0)
+        fused = _composite_chunk(i1, i2, mm1, mm2, offset,
+                                 (canvas.pad_h, canvas.pad_w),
+                                 config.warp_mode, config.fusion_mode)
+        outs.append(np.asarray(fused[:e - s, :canvas.out_h, :canvas.out_w]))
+    return np.concatenate(outs, axis=0), canvas

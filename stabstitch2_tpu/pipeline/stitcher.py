@@ -1,0 +1,140 @@
+"""End-to-end online two-video stitching orchestration.
+
+Parity target: ``test()`` in Full_model_inference/Codes/test_online_ssd.py
+(see SURVEY.md §3.1). Phases: load -> spatial -> temporal -> transport ->
+smooth -> composite -> encode, with the reference's cumulative fps report.
+The reference's missing-argument bug at test_online_ssd.py:399 (warp/fusion
+modes not forwarded) is fixed by construction here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from stabstitch2_tpu.config import MODEL_H, MODEL_W, WINDOW, StitchConfig
+from stabstitch2_tpu.models import SmoothNet, SpatialNet, TemporalNet
+from stabstitch2_tpu.pipeline.compositor import Canvas, composite_video
+from stabstitch2_tpu.pipeline.motion import MotionEstimator
+from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
+from stabstitch2_tpu.pipeline.transport import (
+    stitched_meshes,
+    transport_both_views,
+)
+
+
+@dataclasses.dataclass
+class StitchResult:
+    frames: np.ndarray            # [T, out_h, out_w, 3] float 0..255 (BGR)
+    canvas: Canvas
+    fps: Dict[str, float]         # cumulative fps after each phase
+    smooth_mesh1: jnp.ndarray     # [T, GH+1, GW+1, 2] model-res meshes
+    smooth_mesh2: jnp.ndarray
+    ori_mesh1: jnp.ndarray
+    ori_mesh2: jnp.ndarray
+
+
+@dataclasses.dataclass
+class VideoStitcher:
+    """Bundles the model triad and runs the full online pipeline."""
+
+    spatial_net: SpatialNet
+    spatial_vars: dict
+    temporal_net: TemporalNet
+    temporal_vars: dict
+    smooth_net: SmoothNet
+    smooth_vars: dict
+    config: StitchConfig = dataclasses.field(default_factory=StitchConfig)
+    chunk: int = 8
+    model_h: int = MODEL_H
+    model_w: int = MODEL_W
+
+    def __post_init__(self):
+        self._motion = MotionEstimator(self.spatial_net, self.spatial_vars,
+                                       self.temporal_net, self.temporal_vars,
+                                       chunk=self.chunk)
+
+    def stitch_arrays(self, hi1: np.ndarray, lo1: np.ndarray,
+                      hi2: np.ndarray, lo2: np.ndarray) -> StitchResult:
+        """hi*: [T,H,W,3] 0..255; lo*: [T, 360, 480, 3] in [-1, 1]."""
+        T = lo1.shape[0]
+        if T < WINDOW:
+            raise ValueError(f"video too short: {T} < window {WINDOW}")
+        fps: Dict[str, float] = {}
+        t0 = time.time()
+
+        lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
+
+        # phase 1+2: spatial + temporal motion
+        mh, mw = self.model_h, self.model_w
+        smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
+        tmotion1 = self._motion.temporal(lo1j)
+        tmotion2 = self._motion.temporal(lo2j)
+        jnp.stack([tmotion1[0], tmotion2[0]]).block_until_ready()
+        fps["spatial_temporal"] = T / (time.time() - t0)
+
+        # phase 3: transport
+        ts1, ts2 = transport_both_views(tmotion1, smotion1, tmotion2,
+                                        smotion2, mh, mw)
+        smesh1 = stitched_meshes(smotion1, mh, mw)
+        smesh2 = stitched_meshes(smotion2, mh, mw)
+
+        # phase 4: batched sliding-window smoothing
+        smooth = smooth_all_windows(self.smooth_net, self.smooth_vars,
+                                    smesh1, smesh2, ts1, ts2,
+                                    window=self.config.window)
+        smooth["smooth_mesh1"].block_until_ready()
+        fps["smooth"] = T / (time.time() - t0)
+
+        # phase 5: composite at native resolution
+        frames, canvas = composite_video(hi1, hi2, smooth["smooth_mesh1"],
+                                         smooth["smooth_mesh2"],
+                                         config=self.config, chunk=self.chunk,
+                                         model_size=(mh, mw))
+        fps["composite"] = T / (time.time() - t0)
+
+        return StitchResult(frames=frames, canvas=canvas, fps=fps,
+                            smooth_mesh1=smooth["smooth_mesh1"],
+                            smooth_mesh2=smooth["smooth_mesh2"],
+                            ori_mesh1=smooth["ori_mesh1"],
+                            ori_mesh2=smooth["ori_mesh2"])
+
+    def stitch_video_dir(self, video_dir: str,
+                         output_path: Optional[str] = None) -> StitchResult:
+        """Stitch one <video>/video1+video2 directory, optionally encode mp4."""
+        from stabstitch2_tpu.data.video_io import load_video_pair, write_video
+
+        hi1, lo1, hi2, lo2 = load_video_pair(
+            video_dir, model_size=(self.model_h, self.model_w))
+        result = self.stitch_arrays(hi1, lo1, hi2, lo2)
+        if output_path:
+            t0 = time.time()
+            write_video(output_path, result.frames)
+            result.fps["encode"] = len(result.frames) / max(
+                time.time() - t0, 1e-9)
+        return result
+
+
+def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
+                  model_h: int = MODEL_H, model_w: int = MODEL_W,
+                  chunk: int = 8) -> VideoStitcher:
+    """Fresh stitcher with randomly initialized models (for tests/benches;
+    real use loads converted or trained checkpoints via utils.checkpoint)."""
+    import jax
+
+    spatial = SpatialNet()
+    temporal = TemporalNet()
+    smooth = SmoothNet()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
+    img = jnp.zeros((1, model_h, model_w, 3))
+    sv = spatial.init(k1, img, img, False)
+    tv = temporal.init(k2, img, img, False)
+    mesh = jnp.zeros((1, WINDOW, 7, 9, 2))
+    mv = smooth.init(k3, mesh, mesh, mesh, mesh)
+    return VideoStitcher(spatial, sv, temporal, tv, smooth, mv,
+                         config=config or StitchConfig(), chunk=chunk,
+                         model_h=model_h, model_w=model_w)

@@ -1,0 +1,167 @@
+"""Pipeline stage tests + a small end-to-end integration test.
+
+The integration test runs at reduced model resolution (128x160) so the CPU
+suite stays fast; full-resolution behavior is covered by the bench and the
+TPU driver.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stabstitch2_tpu.config import StitchConfig
+from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows, window_indices
+from stabstitch2_tpu.pipeline.transport import transport_temporal_motion
+from stabstitch2_tpu.pipeline.compositor import compute_canvas, composite_video
+from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+from stabstitch2_tpu.ops.blend import average_fusion, gaussian_blur, linear_fusion
+
+from synthetic import make_two_view_clip
+
+
+class TestTransport:
+    def test_zero_motion_stays_zero(self):
+        # if spatial motion is zero and temporal motion is zero, the
+        # transported motion is zero (spline is identity)
+        T = 5
+        tmotion = jnp.zeros((T, 7, 9, 2))
+        smotion = jnp.zeros((T, 7, 9, 2))
+        ts = transport_temporal_motion(tmotion, smotion, 360, 480)
+        np.testing.assert_allclose(np.asarray(ts), 0.0, atol=1e-3)
+
+    def test_identity_spatial_passes_temporal_through(self):
+        # with zero spatial motion, the stitched frame IS the original frame:
+        # tsmotion_t = (rigid + tmotion_t) - (rigid) - 0 = tmotion_t
+        T = 4
+        rng = np.random.default_rng(0)
+        tmotion = jnp.asarray(rng.normal(0, 3, (T, 7, 9, 2)).astype(np.float32))
+        smotion = jnp.zeros((T, 7, 9, 2))
+        ts = transport_temporal_motion(tmotion, smotion, 360, 480)
+        np.testing.assert_allclose(np.asarray(ts[1:]), np.asarray(tmotion[1:]),
+                                   atol=5e-2)
+        np.testing.assert_allclose(np.asarray(ts[0]), 0.0)
+
+
+class TestSmoothingWindows:
+    def test_window_indices(self):
+        idx = np.asarray(window_indices(10, 7))
+        assert idx.shape == (4, 7)
+        assert idx[0].tolist() == list(range(7))
+        assert idx[-1].tolist() == list(range(3, 10))
+
+    def test_assembly_matches_sequential(self):
+        # batched windows must equal running windows one by one
+        import jax
+        from stabstitch2_tpu.models import SmoothNet
+        from stabstitch2_tpu.models.smooth import smooth_outputs
+
+        net = SmoothNet()
+        T, W = 10, 7
+        rng = np.random.default_rng(3)
+        smesh1 = jnp.asarray(rng.normal(0, 1, (T, 7, 9, 2)).astype(np.float32))
+        smesh2 = jnp.asarray(rng.normal(0, 1, (T, 7, 9, 2)).astype(np.float32))
+        ts1 = jnp.asarray(rng.normal(0, 0.2, (T, 7, 9, 2)).astype(np.float32))
+        ts2 = jnp.asarray(rng.normal(0, 0.2, (T, 7, 9, 2)).astype(np.float32))
+        variables = net.init(jax.random.PRNGKey(0), smesh1[None, :W],
+                             smesh2[None, :W], ts1[None, :W], ts2[None, :W])
+
+        out = smooth_all_windows(net, variables, smesh1, smesh2, ts1, ts2,
+                                 window=W, chunk=3)
+
+        # sequential reference loop (mirrors the driver)
+        seq = []
+        for k in range(T - W + 1):
+            w_ts1 = ts1[k:k + W].at[0].set(0.0)
+            w_ts2 = ts2[k:k + W].at[0].set(0.0)
+            raw = net.apply(variables, smesh1[None, k:k + W],
+                            smesh2[None, k:k + W], w_ts1[None], w_ts2[None])
+            seq.append(smooth_outputs(raw)["smooth_mesh1"][0])
+        expected = jnp.concatenate(
+            [seq[0]] + [s[-1:] for s in seq[1:]], axis=0)
+        np.testing.assert_allclose(np.asarray(out["smooth_mesh1"]),
+                                   np.asarray(expected), rtol=1e-4, atol=1e-5)
+
+
+class TestBlend:
+    def test_average_fusion_is_identity_on_disjoint(self):
+        a = jnp.zeros((4, 6, 3)).at[:, :3].set(100.0)
+        b = jnp.zeros((4, 6, 3)).at[:, 3:].set(50.0)
+        fused = np.asarray(average_fusion(a, b))
+        np.testing.assert_allclose(fused[:, :3], 100.0, atol=1e-3)
+        np.testing.assert_allclose(fused[:, 3:], 50.0, atol=1e-3)
+
+    def test_gaussian_blur_matches_direct_conv(self):
+        # independent oracle: explicit numpy convolution with reflect padding
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (1, 30, 34, 2)).astype(np.float32)
+        k = 21
+        g = np.exp(-((np.arange(k) - k // 2) ** 2) / (2 * 20.0 ** 2))
+        g = (g / g.sum()).astype(np.float32)
+        pad = k // 2
+        xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        ref = np.zeros_like(x)
+        for i in range(k):
+            for j in range(k):
+                ref += g[i] * g[j] * xp[:, i:i + 30, j:j + 34]
+        out = np.asarray(gaussian_blur(jnp.asarray(x), ksize=k, sigma=20.0))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_linear_fusion_covers_union(self):
+        H, W = 40, 60
+        ref_m = np.zeros((H, W), np.float32); ref_m[:, :40] = 1.0
+        tgt_m = np.zeros((H, W), np.float32); tgt_m[:, 20:] = 1.0
+        ref = np.full((H, W, 3), 200.0, np.float32) * ref_m[..., None]
+        tgt = np.full((H, W, 3), 100.0, np.float32) * tgt_m[..., None]
+        fused = np.asarray(linear_fusion(jnp.asarray(ref), jnp.asarray(tgt),
+                                         jnp.asarray(ref_m), jnp.asarray(tgt_m)))
+        # ref-only region keeps ref values, tgt-only keeps tgt values
+        assert abs(fused[:, :10].mean() - 200.0) < 1.0
+        assert abs(fused[:, 50:].mean() - 100.0) < 1.0
+        # overlap transitions monotonically between the two
+        mid = fused[:, 20:40, 0].mean(0)
+        assert mid[0] > mid[-1]
+
+
+class TestCompositor:
+    def test_canvas_extent(self):
+        mesh = jnp.asarray(np.stack(np.meshgrid(np.linspace(-20, 500, 9),
+                                                np.linspace(10, 350, 7)),
+                                    -1).astype(np.float32))[None]
+        canvas = compute_canvas(mesh, mesh + 30.0, bucket=64)
+        assert canvas.x_min == -20.0
+        assert canvas.out_w == 550  # 530 - (-20)
+        assert canvas.pad_w % 64 == 0 and canvas.pad_w >= canvas.out_w
+
+
+@pytest.mark.integration
+class TestEndToEnd:
+    def test_stitch_synthetic_clip(self, tmp_path):
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=8, height=mh, width=mw,
+                                    overlap=0.6, shake_px=2.0, seed=5)
+        stitcher = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                                 config=StitchConfig(canvas_bucket=32))
+        lo1 = v1.astype(np.float32) / 127.5 - 1.0
+        lo2 = v2.astype(np.float32) / 127.5 - 1.0
+        result = stitcher.stitch_arrays(v1, lo1, v2, lo2)
+        T = len(v1)
+        assert result.frames.shape[0] == T
+        assert result.frames.shape[1] >= mh and result.frames.shape[2] >= mw
+        assert np.isfinite(result.frames).all()
+        assert result.frames.max() > 10.0  # non-trivial content
+        assert set(result.fps) >= {"spatial_temporal", "smooth", "composite"}
+        # canvas is global: every frame same size
+        assert result.canvas.out_h == result.frames.shape[1]
+
+    def test_stitch_video_dir_writes_mp4(self, tmp_path):
+        from synthetic import write_clip_dirs
+        mh, mw = 128, 160
+        vd = write_clip_dirs(str(tmp_path), num_frames=7, height=mh, width=mw,
+                             seed=1)
+        stitcher = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                                 config=StitchConfig(canvas_bucket=32))
+        out = str(tmp_path / "out.mp4")
+        result = stitcher.stitch_video_dir(vd, out)
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 1000
+        assert "encode" in result.fps
