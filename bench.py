@@ -1,0 +1,58 @@
+"""End-to-end stitching benchmark on the real TPU chip.
+
+Measures the reference's headline number — two-video online stitching fps
+at 360x480 (reference: 28.3 fps on an RTX 4090, README.md:29-32, timed
+through warping+blending like the driver's cumulative prints,
+test_online_ssd.py:402-403) — on a synthetic clip, and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
+BASELINE_FPS = 28.3  # reference StabStitch++ on RTX 4090
+
+
+def main():
+    import numpy as np
+
+    from stabstitch2_tpu.config import StitchConfig
+    from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+    from synthetic import make_two_view_clip
+
+    frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    v1, v2 = make_two_view_clip(num_frames=frames, height=360, width=480,
+                                overlap=0.55, shake_px=3.0, seed=3)
+    lo1 = v1.astype(np.float32) / 127.5 - 1.0
+    lo2 = v2.astype(np.float32) / 127.5 - 1.0
+
+    stitcher = init_stitcher(rng_seed=0, chunk=chunk,
+                             config=StitchConfig(fusion_mode="AVERAGE",
+                                                 warp_mode="NORMAL"))
+
+    # warmup: compile every program (spatial/temporal/smooth/composite)
+    stitcher.stitch_arrays(v1, lo1, v2, lo2)
+
+    t0 = time.time()
+    result = stitcher.stitch_arrays(v1, lo1, v2, lo2)
+    elapsed = time.time() - t0
+    fps = frames / elapsed
+
+    assert np.isfinite(result.frames).all()
+    print(json.dumps({
+        "metric": "two_video_stitch_fps_360x480",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Command-line drivers (the reference's L4 script surface, unified).
+
+Reference script -> subcommand map:
+  Full_model_inference/test_online_{ssd,tra}.py      -> stitch
+  Full_model_inference/test_online_tra_threeview.py  -> stitch-multi
+  Full_model_inference/test_metric_ssd.py            -> metric
+  {Spatial,Temporal,Smooth}Warp/train_{ssd,tra}.py   -> train-{stage} --preset
+  {Spatial,Temporal}Warp/test_{ssd,tra}.py           -> export-motions
+  (new) reference .pth triad conversion              -> convert
+
+The reference's test_online_ssd.py:399 bug (warp/fusion modes never
+forwarded) does not exist here: flags flow through StitchConfig.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_stitcher_args(p):
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="orbax triad directory")
+    p.add_argument("--reference_pth_dir", type=str, default=None,
+                   help="directory with the reference's *.pth triad")
+    p.add_argument("--warp_mode", choices=["NORMAL", "FAST"], default="NORMAL")
+    p.add_argument("--fusion_mode", choices=["AVERAGE", "LINEAR"],
+                   default="AVERAGE")
+    p.add_argument("--chunk", type=int, default=8)
+
+
+def _build_stitcher(args):
+    from stabstitch2_tpu.config import StitchConfig
+    from stabstitch2_tpu.utils.checkpoint import stitcher_from_checkpoint
+
+    cfg = StitchConfig(warp_mode=args.warp_mode, fusion_mode=args.fusion_mode)
+    return stitcher_from_checkpoint(ckpt_dir=args.ckpt_dir,
+                                    reference_pth_dir=args.reference_pth_dir,
+                                    config=cfg, chunk=args.chunk)
+
+
+def cmd_stitch(args):
+    from stabstitch2_tpu.data.video_io import list_videos
+
+    stitcher = _build_stitcher(args)
+    videos = list_videos(args.test_path)
+    if not videos:
+        print(f"no videos under {args.test_path}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_path, exist_ok=True)
+    for vd in videos:
+        name = os.path.basename(vd)
+        out = os.path.join(args.output_path, name + ".mp4")
+        t0 = time.time()
+        result = stitcher.stitch_video_dir(vd, out)
+        print(f"{name}: {result.frames.shape[0]} frames -> {out} "
+              f"canvas={result.canvas.out_w}x{result.canvas.out_h} "
+              f"fps={ {k: round(v, 2) for k, v in result.fps.items()} } "
+              f"({time.time() - t0:.1f}s)")
+    return 0
+
+
+def cmd_stitch_multi(args):
+    from stabstitch2_tpu.data.video_io import write_video
+    from stabstitch2_tpu.pipeline.threeview import stitch_multi_view
+
+    stitcher = _build_stitcher(args)
+    frames = stitch_multi_view(stitcher, args.video_dir)
+    write_video(args.output, frames)
+    print(f"{frames.shape[0]} frames -> {args.output} "
+          f"({frames.shape[2]}x{frames.shape[1]})")
+    return 0
+
+
+def cmd_metric(args):
+    from stabstitch2_tpu.metrics.harness import evaluate_dataset
+
+    stitcher = _build_stitcher(args)
+    report = evaluate_dataset(stitcher, args.test_path,
+                              max_videos=args.max_videos)
+    print(json.dumps({k: v for k, v in report.items() if k != "per_video"},
+                     indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0
+
+
+def cmd_train(args):
+    from stabstitch2_tpu import config as C
+    from stabstitch2_tpu.train import loop
+
+    stage = args.stage
+    if stage == "spatial":
+        cfg = C.spatial_train_preset(args.preset)
+        if args.max_epoch:
+            cfg = type(cfg)(**{**cfg.__dict__, "max_epoch": args.max_epoch})
+        loop.train_spatial(args.train_path, args.test_path, cfg,
+                           model_dir=args.model_dir,
+                           summary_dir=args.summary_dir,
+                           max_steps_per_epoch=args.max_steps_per_epoch)
+    elif stage == "temporal":
+        cfg = C.temporal_train_preset(args.preset)
+        loop.train_temporal(args.train_path, cfg, model_dir=args.model_dir,
+                            summary_dir=args.summary_dir,
+                            max_steps_per_epoch=args.max_steps_per_epoch)
+    elif stage == "smooth":
+        cfg = C.smooth_train_preset(args.preset)
+        loop.train_smooth(args.train_path, cfg, model_dir=args.model_dir,
+                          summary_dir=args.summary_dir,
+                          max_steps_per_epoch=args.max_steps_per_epoch)
+    return 0
+
+
+def cmd_export(args):
+    from stabstitch2_tpu.train.export import (
+        export_spatial_motions,
+        export_temporal_motions,
+    )
+
+    stitcher = _build_stitcher(args)
+    if args.which in ("spatial", "both"):
+        n = export_spatial_motions(stitcher, args.train_path)
+        print(f"exported {n} spatial motion frames")
+    if args.which in ("temporal", "both"):
+        n = export_temporal_motions(stitcher, args.train_path)
+        print(f"exported {n} temporal motion frames")
+    return 0
+
+
+def cmd_convert(args):
+    from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+    from stabstitch2_tpu.utils.checkpoint import save_triad, triad_from_reference
+
+    sv, tv, mv = triad_from_reference(args.reference_pth_dir)
+    save_triad(args.out_dir, sv, tv, mv)
+    print(f"converted triad -> {args.out_dir}")
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="stabstitch2_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("stitch", help="two-view online stitching -> mp4s")
+    p.add_argument("--test_path", required=True)
+    p.add_argument("--output_path", default="results/")
+    _add_stitcher_args(p)
+    p.set_defaults(fn=cmd_stitch)
+
+    p = sub.add_parser("stitch-multi", help="N-view stitching -> one mp4")
+    p.add_argument("--video_dir", required=True,
+                   help="directory with video1..videoN subdirs")
+    p.add_argument("--output", default="out.mp4")
+    _add_stitcher_args(p)
+    p.set_defaults(fn=cmd_stitch_multi)
+
+    p = sub.add_parser("metric", help="PSNR/SSIM/stability/distortion report")
+    p.add_argument("--test_path", required=True)
+    p.add_argument("--max_videos", type=int, default=None)
+    p.add_argument("--out_json", type=str, default=None)
+    _add_stitcher_args(p)
+    p.set_defaults(fn=cmd_metric)
+
+    p = sub.add_parser("train", help="train one stage")
+    p.add_argument("stage", choices=["spatial", "temporal", "smooth"])
+    p.add_argument("--train_path", required=True)
+    p.add_argument("--test_path", default=None)
+    p.add_argument("--preset", choices=["ssd", "tra"], default="ssd")
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--summary_dir", default=None)
+    p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("export-motions",
+                       help="write Spatial/TemporalMotion npy streams")
+    p.add_argument("--train_path", required=True)
+    p.add_argument("--which", choices=["spatial", "temporal", "both"],
+                   default="both")
+    _add_stitcher_args(p)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("convert", help="reference .pth triad -> orbax triad")
+    p.add_argument("--reference_pth_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    args = parser.parse_args(argv)
+    if getattr(args, "model_dir", None) is None and args.cmd == "train":
+        args.model_dir = f"model_{args.stage}_{args.preset}"
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
