@@ -1,0 +1,107 @@
+"""Loss-function and metric parity tests vs torch/skimage-formula oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stabstitch2_tpu.train import losses
+from stabstitch2_tpu.ops.resize import resize_bicubic
+from stabstitch2_tpu.metrics.psnr_ssim import psnr, ssim
+from stabstitch2_tpu.metrics.scores import continue_paths, stability_score
+
+
+class TestGridLosses:
+    def test_inter_grid_4d(self, goldens):
+        g = goldens("grid_losses")
+        val = losses.inter_grid_loss(jnp.asarray(g["mesh4"]))
+        np.testing.assert_allclose(float(val), float(g["inter4"]), rtol=1e-5)
+
+    def test_inter_grid_5d_reference_quirk(self, goldens):
+        g = goldens("grid_losses")
+        val = losses.inter_grid_loss_5d_ref(jnp.asarray(g["mesh5"]))
+        np.testing.assert_allclose(float(val), float(g["inter5"]), rtol=1e-5)
+
+    def test_intra_grid_5d(self, goldens):
+        g = goldens("grid_losses")
+        val = losses.intra_grid_loss(jnp.asarray(g["mesh5"]))
+        np.testing.assert_allclose(float(val), float(g["intra5"]), rtol=1e-5,
+                                   atol=1e-7)
+
+
+class TestBicubic:
+    def test_align_corners_true(self, goldens):
+        g = goldens("bicubic")
+        x = np.transpose(g["x"], (0, 2, 3, 1))  # NHWC
+        out = resize_bicubic(jnp.asarray(x), (28, 36), align_corners=True)
+        ref = np.transpose(g["up_true"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    def test_align_corners_false(self, goldens):
+        g = goldens("bicubic")
+        x = np.transpose(g["x"], (0, 2, 3, 1))
+        out = resize_bicubic(jnp.asarray(x), (28, 36), align_corners=False)
+        ref = np.transpose(g["up_false"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestPSNRSSIM:
+    def test_psnr_formula(self):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0, 255, (32, 40, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 10, a.shape), 0, 255).astype(np.float32)
+        expected = 10 * np.log10(255.0 ** 2 / np.mean((a - b) ** 2))
+        np.testing.assert_allclose(float(psnr(jnp.asarray(a), jnp.asarray(b))),
+                                   expected, rtol=1e-5)
+
+    def test_ssim_identity_is_one(self):
+        rng = np.random.default_rng(1)
+        a = rng.uniform(0, 255, (40, 50, 3)).astype(np.float32)
+        assert abs(float(ssim(jnp.asarray(a), jnp.asarray(a))) - 1.0) < 1e-5
+
+    def test_ssim_against_direct_formula(self):
+        # independent numpy implementation of skimage-0.15 SSIM (uniform 7x7)
+        rng = np.random.default_rng(2)
+        a = rng.uniform(0, 255, (30, 34)).astype(np.float64)
+        b = np.clip(a + rng.normal(0, 20, a.shape), 0, 255)
+
+        win, L = 7, 255.0
+        C1, C2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+        cov_norm = 49 / 48
+
+        def ufilt(x):
+            out = np.zeros((x.shape[0] - 6, x.shape[1] - 6))
+            for i in range(7):
+                for j in range(7):
+                    out += x[i:i + out.shape[0], j:j + out.shape[1]]
+            return out / 49.0
+
+        ux, uy = ufilt(a), ufilt(b)
+        vx = cov_norm * (ufilt(a * a) - ux * ux)
+        vy = cov_norm * (ufilt(b * b) - uy * uy)
+        vxy = cov_norm * (ufilt(a * b) - ux * uy)
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)
+             / ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2)))
+        expected = S.mean()
+        got = float(ssim(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+class TestPathContinuation:
+    def test_matches_sequential_recurrence(self):
+        rng = np.random.default_rng(3)
+        nw, W = 6, 7
+        win_ori = rng.normal(0, 1, (nw, W, 7, 9, 2)).astype(np.float32)
+        win_smooth = rng.normal(0, 1, (nw, W, 7, 9, 2)).astype(np.float32)
+        ori, smooth = continue_paths(jnp.asarray(win_ori),
+                                     jnp.asarray(win_smooth))
+        # sequential re-implementation of the reference recurrence
+        o = [win_ori[0][t] for t in range(W)]
+        s = [win_smooth[0][t] for t in range(W)]
+        for k in range(1, nw):
+            o.append(o[-1] + (win_ori[k][-1] - win_ori[k][-2]))
+            s.append(o[-1] + (win_smooth[k][-1] - win_ori[k][-1]))
+        np.testing.assert_allclose(np.asarray(ori), np.stack(o), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(smooth), np.stack(s), atol=1e-5)
+
+    def test_stability_zero_for_constant_path(self):
+        path = jnp.ones((12, 7, 9, 2)) * 5.0
+        assert float(stability_score(path)) < 1e-10

@@ -1,0 +1,98 @@
+"""Trainer smoke tests: one jitted optimizer step per stage runs, produces
+finite losses, and actually changes the parameters."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stabstitch2_tpu.config import (
+    SmoothTrainConfig,
+    SpatialTrainConfig,
+    TemporalTrainConfig,
+)
+from stabstitch2_tpu.models import SmoothNet, SpatialNet, TemporalNet
+from stabstitch2_tpu.train.common import create_train_state, data_aug_pair
+from stabstitch2_tpu.train.smooth import smooth_train_step
+from stabstitch2_tpu.train.spatial import spatial_train_step
+from stabstitch2_tpu.train.temporal import temporal_train_step
+
+from synthetic import make_two_view_clip
+
+MH, MW = 128, 160
+
+
+def _clip_pair(n=2, seed=0):
+    v1, v2 = make_two_view_clip(num_frames=n, height=MH, width=MW,
+                                overlap=0.6, shake_px=2.0, seed=seed)
+    to = lambda v: jnp.asarray(v.astype(np.float32) / 127.5 - 1.0)
+    return to(v1), to(v2)
+
+
+def _param_delta(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(leaves_a, leaves_b))
+
+
+class TestSpatialStep:
+    def test_one_step(self):
+        cfg = SpatialTrainConfig(batch_size=2)
+        net = SpatialNet()
+        img1, img2 = _clip_pair()
+        variables = net.init(jax.random.PRNGKey(0), img1[:1], img2[:1], False)
+        state = create_train_state(variables, cfg, steps_per_epoch=5)
+        new_state, metrics = spatial_train_step(
+            state, img1, img2, jax.random.PRNGKey(1), net, cfg, None)
+        assert np.isfinite(float(metrics["total"]))
+        assert _param_delta(state.params, new_state.params) > 0
+        # BN stats must move in train mode
+        assert _param_delta(state.batch_stats, new_state.batch_stats) > 0
+
+
+class TestTemporalStep:
+    def test_one_step(self):
+        cfg = TemporalTrainConfig(batch_size=2)
+        net = TemporalNet()
+        img1, img2 = _clip_pair(seed=4)
+        variables = net.init(jax.random.PRNGKey(0), img1[:1], img2[:1], False)
+        state = create_train_state(variables, cfg, steps_per_epoch=5)
+        new_state, metrics = temporal_train_step(
+            state, img1, img2, jax.random.PRNGKey(1), net, cfg)
+        assert np.isfinite(float(metrics["total"]))
+        assert _param_delta(state.params, new_state.params) > 0
+
+
+class TestSmoothStep:
+    def test_one_step(self):
+        cfg = SmoothTrainConfig(batch_size=2, frame_num=7, train_sqe=2)
+        net = SmoothNet()
+        rng = np.random.default_rng(0)
+        B, L = 2, 8
+        mesh = jnp.zeros((1, 7, 7, 9, 2))
+        variables = net.init(jax.random.PRNGKey(0), mesh, mesh, mesh, mesh)
+        state = create_train_state(variables, cfg, steps_per_epoch=5)
+        f32 = lambda shape, s: jnp.asarray(
+            rng.normal(0, s, shape).astype(np.float32))
+        v1, v2 = make_two_view_clip(num_frames=L, height=MH, width=MW, seed=2)
+        to = lambda v: jnp.asarray(v.astype(np.float32) / 127.5 - 1.0)[None]
+        batch = (f32((B // 2 * 2, L, 7, 9, 2), 2.0)[:B],
+                 f32((B, L, 7, 9, 2), 2.0),
+                 f32((B, L, 7, 9, 2), 8.0),
+                 f32((B, L, 7, 9, 2), 8.0),
+                 jnp.tile(to(v1), (B, 1, 1, 1, 1)),
+                 jnp.tile(to(v2), (B, 1, 1, 1, 1)))
+        new_state, metrics = smooth_train_step(state, batch, net, cfg)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        assert _param_delta(state.params, new_state.params) > 0
+
+
+class TestDataAug:
+    def test_range_and_shape(self):
+        img = jnp.ones((2, 8, 8, 3)) * 0.9
+        a1, a2 = data_aug_pair(jax.random.PRNGKey(0), img, -img)
+        assert a1.shape == img.shape
+        assert float(jnp.max(a1)) <= 1.0 and float(jnp.min(a2)) >= -1.0
+        # brightness/color jitter actually changes values
+        assert not np.allclose(np.asarray(a1), np.asarray(img))
