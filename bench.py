@@ -30,18 +30,17 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
     v1, v2 = make_two_view_clip(num_frames=frames, height=360, width=480,
                                 overlap=0.55, shake_px=3.0, seed=3)
-    lo1 = v1.astype(np.float32) / 127.5 - 1.0
-    lo2 = v2.astype(np.float32) / 127.5 - 1.0
 
     stitcher = init_stitcher(rng_seed=0, chunk=chunk,
                              config=StitchConfig(fusion_mode="AVERAGE",
                                                  warp_mode="NORMAL"))
 
-    # warmup: compile every program (spatial/temporal/smooth/composite)
-    stitcher.stitch_arrays(v1, lo1, v2, lo2)
+    # warmup: compile every program (spatial/temporal/smooth/composite);
+    # lo=None takes the uint8 device-preprocess fast path
+    stitcher.stitch_arrays(v1, None, v2, None)
 
     t0 = time.time()
-    result = stitcher.stitch_arrays(v1, lo1, v2, lo2)
+    result = stitcher.stitch_arrays(v1, None, v2, None)
     elapsed = time.time() - t0
     fps = frames / elapsed
 

@@ -75,9 +75,14 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                      warp_mode: str, fusion_mode: str):
     """Warp+fuse a chunk of frames.
 
-    img1/img2: [B, H, W, 3] raw 0..255; mesh1/mesh2: [B, GH+1, GW+1, 2]
-    hi-res pixel meshes; offset: [2] (x_min, y_min). Returns [B, oh, ow, 3].
+    img1/img2: [B, H, W, 3] uint8 (or float 0..255); mesh1/mesh2:
+    [B, GH+1, GW+1, 2] hi-res pixel meshes; offset: [2] (x_min, y_min).
+    Returns [B, oh, ow, 3] uint8. uint8 at both jit boundaries keeps the
+    host<->device traffic 4x smaller than f32 — the compositor is
+    transfer-bound on a tunneled chip.
     """
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     B, H, W, _ = img1.shape
     oh, ow = out_size
     translated1 = mesh1 - offset
@@ -103,7 +108,7 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     else:
         fused = jax.vmap(linear_fusion)(w1[..., :3], w2[..., :3],
                                         w1[..., 3], w2[..., 3])
-    return fused
+    return jnp.clip(fused, 0.0, 255.0).astype(jnp.uint8)
 
 
 def composite_video(img1: np.ndarray, img2: np.ndarray,
@@ -114,9 +119,11 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
                     ) -> Tuple[np.ndarray, Canvas]:
     """Composite a whole video.
 
-    img1/img2: [T, H, W, 3] uint8/float 0..255 (host); smooth_mesh*:
+    img1/img2: [T, H, W, 3] uint8 (host); smooth_mesh*:
     [T, GH+1, GW+1, 2] model-resolution meshes. Returns (frames
-    [T, out_h, out_w, 3] float32, canvas).
+    [T, out_h, out_w, 3] uint8, canvas). All chunk computations are
+    enqueued before any result is fetched, so the async dispatch pipeline
+    overlaps uploads, compute, and downloads.
     """
     config = config or StitchConfig()
     T, H, W, _ = img1.shape
@@ -129,15 +136,19 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
             f"{config.max_canvas_h}x{config.max_canvas_w}")
     offset = jnp.asarray([canvas.x_min, canvas.y_min], jnp.float32)
 
-    outs = []
+    if isinstance(img1, np.ndarray):
+        img1 = np.ascontiguousarray(img1, dtype=np.uint8)
+    if isinstance(img2, np.ndarray):
+        img2 = np.ascontiguousarray(img2, dtype=np.uint8)
+    pending = []
     for s in range(0, T, chunk):
         e = min(s + chunk, T)
         # keep the last chunk the same shape as the others (pad + crop) so
         # only one compiled program exists per canvas bucket
         pad = chunk - (e - s)
         sl = slice(s, e)
-        i1 = jnp.asarray(img1[sl], jnp.float32)
-        i2 = jnp.asarray(img2[sl], jnp.float32)
+        i1 = jnp.asarray(img1[sl])
+        i2 = jnp.asarray(img2[sl])
         mm1, mm2 = m1[sl], m2[sl]
         if pad:
             i1 = jnp.pad(i1, ((0, pad), (0, 0), (0, 0), (0, 0)))
@@ -147,5 +158,6 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
         fused = _composite_chunk(i1, i2, mm1, mm2, offset,
                                  (canvas.pad_h, canvas.pad_w),
                                  config.warp_mode, config.fusion_mode)
-        outs.append(np.asarray(fused[:e - s, :canvas.out_h, :canvas.out_w]))
+        pending.append(fused[:e - s, :canvas.out_h, :canvas.out_w])
+    outs = [np.asarray(f) for f in pending]
     return np.concatenate(outs, axis=0), canvas

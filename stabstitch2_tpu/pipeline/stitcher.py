@@ -10,9 +10,11 @@ modes not forwarded) is fixed by construction here.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,16 +60,38 @@ class VideoStitcher:
                                        self.temporal_net, self.temporal_vars,
                                        chunk=self.chunk)
 
-    def stitch_arrays(self, hi1: np.ndarray, lo1: np.ndarray,
-                      hi2: np.ndarray, lo2: np.ndarray) -> StitchResult:
-        """hi*: [T,H,W,3] 0..255; lo*: [T, 360, 480, 3] in [-1, 1]."""
-        T = lo1.shape[0]
+        @functools.partial(jax.jit, static_argnames=("mh", "mw"))
+        def _preprocess(hi_u8, mh, mw):
+            # uint8 upload + on-device resize/normalize: the tunnel to the
+            # chip is bandwidth-bound, so frames cross it once, as uint8
+            x = hi_u8.astype(jnp.float32)
+            if hi_u8.shape[1] != mh or hi_u8.shape[2] != mw:
+                x = jax.image.resize(x, (x.shape[0], mh, mw, 3), "bilinear")
+            return x / 127.5 - 1.0
+
+        self._preprocess = _preprocess
+
+    def stitch_arrays(self, hi1: np.ndarray,
+                      lo1: Optional[np.ndarray],
+                      hi2: np.ndarray,
+                      lo2: Optional[np.ndarray]) -> StitchResult:
+        """hi*: [T,H,W,3] uint8 0..255; lo*: [T, mh, mw, 3] in [-1, 1] or
+        None to resize+normalize on device (the fast path — frames cross
+        the host<->device link once, as uint8)."""
+        T = hi1.shape[0]
         if T < WINDOW:
             raise ValueError(f"video too short: {T} < window {WINDOW}")
         fps: Dict[str, float] = {}
         t0 = time.time()
 
-        lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
+        hi1_dev, hi2_dev = hi1, hi2
+        if lo1 is None or lo2 is None:
+            hi1_dev = jnp.asarray(np.ascontiguousarray(hi1, dtype=np.uint8))
+            hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, dtype=np.uint8))
+            lo1j = self._preprocess(hi1_dev, self.model_h, self.model_w)
+            lo2j = self._preprocess(hi2_dev, self.model_h, self.model_w)
+        else:
+            lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
 
         # phase 1+2: spatial + temporal motion
         mh, mw = self.model_h, self.model_w
@@ -91,7 +115,7 @@ class VideoStitcher:
         fps["smooth"] = T / (time.time() - t0)
 
         # phase 5: composite at native resolution
-        frames, canvas = composite_video(hi1, hi2, smooth["smooth_mesh1"],
+        frames, canvas = composite_video(hi1_dev, hi2_dev, smooth["smooth_mesh1"],
                                          smooth["smooth_mesh2"],
                                          config=self.config, chunk=self.chunk,
                                          model_size=(mh, mw))
