@@ -29,14 +29,28 @@ def list_frames(video_dir: str, view: str) -> List[str]:
 
 
 def load_view(video_dir: str, view: str,
-              model_size: Tuple[int, int] = (MODEL_H, MODEL_W)
-              ) -> Tuple[np.ndarray, np.ndarray]:
-    """Load one view. Returns (hires_uint8 [T,H,W,3], model_float [-1,1])."""
+              model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
+              use_native: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one view. Returns (hires_uint8 [T,H,W,3], model_float [-1,1]).
+
+    Uses the native threaded decoder (native/frameloader.cpp) when built,
+    falling back to cv2. Both produce BGR uint8 + half-pixel bilinear
+    resize; JPEG IDCT rounding may differ by ~1 LSB between decoders.
+    """
     paths = list_frames(video_dir, view)
     if not paths:
         raise FileNotFoundError(f"no frames in {video_dir}/{view}")
-    hi, lo = [], []
     mh, mw = model_size
+    if use_native:
+        from stabstitch2_tpu.data import native
+
+        if native.available():
+            try:
+                hi, lo_u8 = native.decode_batch(paths, lo_size=(mh, mw))
+                return hi, lo_u8.astype(np.float32) / 127.5 - 1.0
+            except (IOError, RuntimeError):
+                pass  # non-jpeg / size-mismatch: fall back to cv2
+    hi, lo = [], []
     for p in paths:
         img = cv2.imread(p)
         if img is None:

@@ -165,3 +165,56 @@ class TestEndToEnd:
         import os
         assert os.path.exists(out) and os.path.getsize(out) > 1000
         assert "encode" in result.fps
+
+
+class TestNativeLoader:
+    @pytest.fixture(scope="class")
+    def libbuilt(self):
+        import subprocess
+        from stabstitch2_tpu.data import native
+        if not native.available():
+            root = __import__("pathlib").Path(__file__).parent.parent
+            r = subprocess.run(["make", "-C", str(root / "native")],
+                               capture_output=True)
+            native._TRIED = False  # re-probe
+            if r.returncode != 0 or not native.available():
+                pytest.skip("native frameloader unavailable")
+        return True
+
+    def test_decode_matches_cv2(self, libbuilt, tmp_path):
+        import cv2
+        from synthetic import make_two_view_clip
+        from stabstitch2_tpu.data import native
+
+        v1, _ = make_two_view_clip(num_frames=3, height=90, width=120, seed=7)
+        paths = []
+        for t in range(3):
+            p = str(tmp_path / f"{t}.jpg")
+            cv2.imwrite(p, v1[t], [cv2.IMWRITE_JPEG_QUALITY, 95])
+            paths.append(p)
+        hi, lo = native.decode_batch(paths, lo_size=(45, 60))
+        assert hi.shape == (3, 90, 120, 3) and lo.shape == (3, 45, 60, 3)
+        ref = np.stack([cv2.imread(p) for p in paths])
+        # different JPEG IDCT implementations: allow small per-pixel delta
+        assert np.mean(np.abs(hi.astype(int) - ref.astype(int))) < 1.5
+        assert np.max(np.abs(hi.astype(int) - ref.astype(int))) <= 24
+        ref_lo = np.stack([cv2.resize(r, (60, 45)) for r in ref])
+        assert np.mean(np.abs(lo.astype(int) - ref_lo.astype(int))) < 2.0
+
+    def test_prefetcher_in_order(self, libbuilt, tmp_path):
+        import cv2
+        from synthetic import make_two_view_clip
+        from stabstitch2_tpu.data.native import FramePrefetcher
+
+        v1, _ = make_two_view_clip(num_frames=6, height=64, width=80, seed=8)
+        paths = []
+        for t in range(6):
+            p = str(tmp_path / f"{t}.jpg")
+            cv2.imwrite(p, v1[t])
+            paths.append(p)
+        with FramePrefetcher(paths, lo_size=(32, 40), ring=3) as pf:
+            frames = [pf.get(i) for i in range(6)]
+        assert all(f[0].shape == (64, 80, 3) for f in frames)
+        assert all(f[1].shape == (32, 40, 3) for f in frames)
+        # frames differ from each other (ring slots not aliased)
+        assert not np.array_equal(frames[0][0], frames[5][0])
