@@ -1,0 +1,94 @@
+"""Driver entry points, N-view chain stitching, and CLI smoke tests."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from synthetic import make_two_view_clip, write_clip_dirs
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        m1, m2 = out
+        assert m1.shape == (1, 7, 9, 2) and m2.shape == (1, 7, 9, 2)
+        assert bool(jnp.all(jnp.isfinite(m1)))
+
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as ge
+
+        assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+        ge.dryrun_multichip(8)  # raises on failure
+
+
+class TestMultiView:
+    def test_three_view_chain(self, tmp_path):
+        import cv2
+
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+        from stabstitch2_tpu.pipeline.threeview import stitch_multi_view
+
+        mh, mw = 128, 160
+        # build a 3-view clip: view k = crop at k * offset
+        rng = np.random.default_rng(0)
+        from synthetic import _texture
+        pano = _texture(mh + 16, mw * 2 + 32, seed=9)
+        vd = tmp_path / "clip"
+        T = 7
+        for k in range(3):
+            d = vd / f"video{k + 1}"
+            d.mkdir(parents=True)
+            x0 = k * (mw // 2)
+            for t in range(T):
+                jit = rng.integers(0, 8, 2)
+                frame = pano[jit[0]:jit[0] + mh, x0 + jit[1]:x0 + jit[1] + mw]
+                cv2.imwrite(str(d / f"{t:04d}.jpg"), frame.astype(np.uint8))
+
+        stitcher = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                                 config=StitchConfig(canvas_bucket=32))
+        frames = stitch_multi_view(stitcher, str(vd))
+        assert frames.shape[0] == T
+        assert frames.shape[2] >= mw  # panorama at least as wide as one view
+        assert np.isfinite(frames.astype(np.float32)).all()
+        assert frames.max() > 10
+
+
+@pytest.mark.integration
+class TestCLI:
+    def test_stitch_command(self, tmp_path):
+        from stabstitch2_tpu.cli import main
+
+        write_clip_dirs(str(tmp_path / "data"), num_frames=7, height=360,
+                        width=480, seed=2)
+        rc = main(["stitch", "--test_path", str(tmp_path / "data"),
+                   "--output_path", str(tmp_path / "out"), "--chunk", "4"])
+        assert rc == 0
+        outs = os.listdir(tmp_path / "out")
+        assert any(o.endswith(".mp4") for o in outs)
+
+    def test_metric_command(self, tmp_path):
+        from stabstitch2_tpu.cli import main
+
+        write_clip_dirs(str(tmp_path / "data"), num_frames=7, height=360,
+                        width=480, seed=3)
+        rc = main(["metric", "--test_path", str(tmp_path / "data"),
+                   "--max_videos", "1", "--chunk", "4",
+                   "--out_json", str(tmp_path / "report.json")])
+        assert rc == 0
+        import json
+
+        with open(tmp_path / "report.json") as f:
+            report = json.load(f)
+        avg = report["average"]
+        assert set(avg) == {"psnr", "ssim", "stability", "distortion"}
+        assert np.isfinite(list(avg.values())).all()
