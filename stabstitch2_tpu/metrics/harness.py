@@ -52,7 +52,10 @@ def _warp_views(lo: jnp.ndarray, mesh: jnp.ndarray, chunk: int = 8
         im = jnp.concatenate([img, jnp.ones_like(img)], -1)
         src = mesh_points(normalize_mesh(mesh[s:e], H, W))
         tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-        outs.append(tps_warp(im, src, tgt, (H, W), mode="NORMAL"))
+        from stabstitch2_tpu.ops.pallas_warp import pallas_available
+
+        outs.append(tps_warp(im, src, tgt, (H, W), mode="NORMAL",
+                             use_pallas=pallas_available()))
     return jnp.concatenate(outs, 0)
 
 

@@ -109,13 +109,22 @@ def _eval_grid_rows(points_x: jnp.ndarray, points_y: jnp.ndarray,
 
 
 def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
-                      out_size: Tuple[int, int]
+                      out_size: Tuple[int, int],
+                      use_pallas: Optional[bool] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the spline over a normalized output grid.
 
-    Returns (x_s, y_s) each [B, H*W]. The grid-row/T matmul is the MXU-heavy
-    part: [2, P+3] x [P+3, H*W].
+    Returns (x_s, y_s) each [B, H*W]. With ``use_pallas`` (inference-only:
+    the kernel defines no VJP) the fused Pallas kernel (ops/pallas_warp.py)
+    skips the [P+3, H*W] HBM intermediate; the jnp path below is the
+    reference semantics, the CPU/test path, and the differentiable path.
     """
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from stabstitch2_tpu.ops.pallas_warp import tps_coords_fused
+
+        return tps_coords_fused(T, source, out_size)
     out_h, out_w = out_size
     grid3 = normalized_grid(out_h, out_w, T.dtype)  # [3, HW]
     gx = jnp.broadcast_to(grid3[0][None, :], (source.shape[0], out_h * out_w))
@@ -127,7 +136,8 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
 
 def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
              out_size: Tuple[int, int], mode: str = "NORMAL",
-             T: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             T: Optional[jnp.ndarray] = None,
+             use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """TPS image warp. im: [B,H,W,C] NHWC; source/target: [B,P,2] normalized.
 
     ``source`` is the deformed mesh, ``target`` the rigid lattice — each
@@ -143,7 +153,7 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
     out_h, out_w = out_size
     if T is None:
         T = tps_params(source, target)
-    x_s, y_s = tps_sample_coords(T, source, out_size)
+    x_s, y_s = tps_sample_coords(T, source, out_size, use_pallas=use_pallas)
     if mode == "NORMAL":
         sampled = bilinear_sample(im, x_s, y_s)
     elif mode == "FAST":

@@ -99,8 +99,11 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
         jnp.concatenate([img2, mask], -1)], axis=0)
     source = jnp.concatenate([norm1, norm2], axis=0)
     target = jnp.concatenate([norm_rigid, norm_rigid], axis=0)
+    from stabstitch2_tpu.ops.pallas_warp import pallas_available
+
     T = tps_params(source, target)
-    warped = tps_warp(stack, source, target, (oh, ow), mode=warp_mode, T=T)
+    warped = tps_warp(stack, source, target, (oh, ow), mode=warp_mode, T=T,
+                      use_pallas=pallas_available())
     w1, w2 = warped[:B], warped[B:]
 
     if fusion_mode == "AVERAGE":

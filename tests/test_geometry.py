@@ -169,3 +169,26 @@ class TestCCL:
                         jnp.asarray(nchw_to_nhwc(g["f2"])))
         ref = np.transpose(g["flow"], (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(flow), ref, rtol=1e-3, atol=1e-4)
+
+
+class TestPallasTPSKernel:
+    def test_interpret_mode_matches_jnp(self):
+        from stabstitch2_tpu.ops.tps import tps_params, tps_sample_coords
+        from stabstitch2_tpu.ops.pallas_warp import tps_coords_fused
+
+        rng = np.random.default_rng(0)
+        xs = np.linspace(-1, 1, 9)
+        ys = np.linspace(-1, 1, 7)
+        mesh = np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2)
+        src = jnp.asarray((mesh[None] + rng.normal(0, 0.06, (2, 63, 2))
+                           ).astype(np.float32))
+        tgt = jnp.asarray(np.tile(mesh[None], (2, 1, 1)).astype(np.float32))
+        T = tps_params(src, tgt)
+        for out_size in ((36, 48), (29, 48)):  # incl. non-multiple-of-8 rows
+            x_ref, y_ref = tps_sample_coords(T, src, out_size,
+                                             use_pallas=False)
+            x_pal, y_pal = tps_coords_fused(T, src, out_size, interpret=True)
+            np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                       atol=2e-4)
