@@ -27,8 +27,11 @@ def _add_stitcher_args(p):
     p.add_argument("--reference_pth_dir", type=str, default=None,
                    help="directory with the reference's *.pth triad")
     p.add_argument("--warp_mode", choices=["NORMAL", "FAST"], default="NORMAL")
+    # reference defaults: ssd drivers fuse AVERAGE, tra drivers LINEAR
+    # (test_online_ssd.py:444 vs test_online_tra.py:444)
     p.add_argument("--fusion_mode", choices=["AVERAGE", "LINEAR"],
-                   default="AVERAGE")
+                   default=None)
+    p.add_argument("--preset", choices=["ssd", "tra"], default="ssd")
     p.add_argument("--chunk", type=int, default=8)
 
 
@@ -36,7 +39,9 @@ def _build_stitcher(args):
     from stabstitch2_tpu.config import StitchConfig
     from stabstitch2_tpu.utils.checkpoint import stitcher_from_checkpoint
 
-    cfg = StitchConfig(warp_mode=args.warp_mode, fusion_mode=args.fusion_mode)
+    fusion = args.fusion_mode or ("LINEAR" if args.preset == "tra"
+                                  else "AVERAGE")
+    cfg = StitchConfig(warp_mode=args.warp_mode, fusion_mode=fusion)
     return stitcher_from_checkpoint(ckpt_dir=args.ckpt_dir,
                                     reference_pth_dir=args.reference_pth_dir,
                                     config=cfg, chunk=args.chunk)
@@ -169,7 +174,8 @@ def main(argv=None):
     p.add_argument("stage", choices=["spatial", "temporal", "smooth"])
     p.add_argument("--train_path", required=True)
     p.add_argument("--test_path", default=None)
-    p.add_argument("--preset", choices=["ssd", "tra"], default="ssd")
+    p.add_argument("--preset", choices=["ssd", "tra"], default="ssd",
+                   help="reference recipe preset")
     p.add_argument("--model_dir", default=None)
     p.add_argument("--summary_dir", default=None)
     p.add_argument("--max_epoch", type=int, default=None)

@@ -162,5 +162,6 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
                                  (canvas.pad_h, canvas.pad_w),
                                  config.warp_mode, config.fusion_mode)
         pending.append(fused[:e - s, :canvas.out_h, :canvas.out_w])
-    outs = [np.asarray(f) for f in pending]
+    # one bulk fetch: all chunks leave the device in a single transfer batch
+    outs = jax.device_get(pending)
     return np.concatenate(outs, axis=0), canvas

@@ -102,6 +102,17 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
                 vgg_apply)
             if bi % 100 == 0:
                 _log(writer, metrics, int(state.step))
+            # image panels every 300 iters (reference train_ssd.py:143-149)
+            if writer is not None and int(state.step) % 300 == 0:
+                out, _ = spatial_train_outputs(
+                    net, {"params": state.params,
+                          "batch_stats": state.batch_stats},
+                    jnp.asarray(img1[:1]), jnp.asarray(img2[:1]), train=False)
+                for key in ("output_H_ref", "output_H_tgt",
+                            "output_tps_ref", "output_tps_tgt"):
+                    img = np.asarray((out[key][0, ..., :3] + 1.0) / 2.0)
+                    writer.add_image(key, np.clip(img, 0, 1),
+                                     int(state.step), dataformats="HWC")
         print(f"[spatial] epoch {epoch + 1}/{cfg.max_epoch} "
               f"loss={float(metrics['total']):.4f} "
               f"({time.time() - t0:.1f}s)")
