@@ -68,9 +68,14 @@ def state_shardings(mesh: Mesh, tree: Any) -> Any:
 
 def batch_sharding(mesh: Mesh, tree: Any) -> Any:
     """Shard every array's leading (batch) dim over the ``data`` axis."""
+    dp = mesh.shape["data"]
+
     def to_sharding(leaf):
         ndim = getattr(leaf, "ndim", 0)
-        if ndim >= 1:
+        shape = getattr(leaf, "shape", ())
+        # batch arrays only: rank >= 2 with a data-divisible leading dim
+        # (PRNG keys, scalars, odd remainders stay replicated)
+        if ndim >= 2 and shape[0] % dp == 0:
             return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
         return NamedSharding(mesh, P())
 

@@ -92,3 +92,36 @@ class TestCLI:
         avg = report["average"]
         assert set(avg) == {"psnr", "ssim", "stability", "distortion"}
         assert np.isfinite(list(avg.values())).all()
+
+
+class TestParallelTrain:
+    def test_parallelize_temporal_step_8dev(self):
+        import functools
+
+        from stabstitch2_tpu.config import TemporalTrainConfig
+        from stabstitch2_tpu.models import TemporalNet
+        from stabstitch2_tpu.parallel.train import parallelize_step, shard_batch
+        from stabstitch2_tpu.train.common import create_train_state
+        from stabstitch2_tpu.train.temporal import temporal_loss_fn
+
+        cfg = TemporalTrainConfig(batch_size=8)
+        net = TemporalNet()
+        img = jnp.zeros((1, 128, 160, 3))
+        variables = net.init(jax.random.PRNGKey(0), img, img, False)
+        state = create_train_state(variables, cfg, steps_per_epoch=4)
+
+        def step(state, prev, nxt, rng):
+            grad_fn = jax.value_and_grad(temporal_loss_fn, has_aux=True)
+            (_, (new_bs, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, net, prev, nxt, rng, cfg)
+            return state.apply_gradients(grads, new_batch_stats=new_bs), metrics
+
+        batch = (jnp.ones((8, 128, 160, 3)) * 0.1,
+                 jnp.ones((8, 128, 160, 3)) * -0.1,
+                 jax.random.PRNGKey(0))
+        jitted, sstate, mesh = parallelize_step(step, state, batch,
+                                                donate_state=False)
+        b = shard_batch(mesh, batch)
+        new_state, metrics = jitted(sstate, *b)
+        assert np.isfinite(float(metrics["total"]))
+        assert mesh.shape["data"] * mesh.shape["model"] == 8
