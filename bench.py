@@ -14,6 +14,11 @@ import os
 import sys
 import time
 
+# persistent compile cache: the remote-TPU backend honors it, turning the
+# ~4-9 min cold warmup into seconds on repeat runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
 
 BASELINE_FPS = 28.3  # reference StabStitch++ on RTX 4090

@@ -44,22 +44,29 @@ def _kernel(t_ref, src_ref, gx_ref, gy_ref, xs_ref, ys_ref, *, num_points):
     ys_ref[0] = acc_y
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_size", "interpret",
+                                             "grid_span"))
 def tps_coords_fused(T: jnp.ndarray, source: jnp.ndarray,
-                     out_size: Tuple[int, int], interpret: bool = False
+                     out_size: Tuple[int, int], interpret: bool = False,
+                     grid_span: Tuple[int, int] | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """T: [B, 2, P+3]; source: [B, P, 2] -> (x_s, y_s) each [B, H*W].
 
-    Matches ops.tps.tps_sample_coords (same normalized linspace grid).
+    Matches ops.tps.tps_sample_coords (same normalized grid; ``grid_span``
+    extends a true-canvas grid across a padded out_size).
     """
     B, _, pn3 = T.shape
     P = pn3 - 3
     out_h, out_w = out_size
+    span_h, span_w = grid_span or out_size
     pad_h = -(-out_h // _ROWS) * _ROWS
 
-    gx_row = jnp.tile(jnp.linspace(-1.0, 1.0, out_w, dtype=T.dtype)[None, :],
-                      (pad_h, 1))
-    gy_col = jnp.linspace(-1.0, 1.0, out_h, dtype=T.dtype)
+    def grid_1d(n, span_n):
+        step = 2.0 / (span_n - 1) if span_n > 1 else 0.0
+        return -1.0 + step * jnp.arange(n, dtype=T.dtype)
+
+    gx_row = jnp.tile(grid_1d(out_w, span_w)[None, :], (pad_h, 1))
+    gy_col = grid_1d(out_h, span_h)
     gy_col = jnp.pad(gy_col, (0, pad_h - out_h), constant_values=1.0)
     gy_row = jnp.tile(gy_col[:, None], (1, out_w))
 

@@ -108,27 +108,46 @@ def _eval_grid_rows(points_x: jnp.ndarray, points_y: jnp.ndarray,
     return jnp.concatenate([ones, x_rows, y_rows, r], axis=1)  # [B, P+3, N]
 
 
+def _grid_1d(n: int, span_n: int, dtype) -> jnp.ndarray:
+    """linspace(-1, 1, span_n) extended to n points (n >= span_n).
+
+    Lets a canvas padded to static shapes keep the TRUE canvas's
+    normalization: TPS is invariant under similarity transforms only, so
+    normalizing by the padded extent would change the spline slightly.
+    Extra points continue past +1 with the same step and are cropped later.
+    """
+    step = 2.0 / (span_n - 1) if span_n > 1 else 0.0
+    return -1.0 + step * jnp.arange(n, dtype=dtype)
+
+
 def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
                       out_size: Tuple[int, int],
-                      use_pallas: Optional[bool] = None
+                      use_pallas: Optional[bool] = None,
+                      grid_span: Optional[Tuple[int, int]] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the spline over a normalized output grid.
 
-    Returns (x_s, y_s) each [B, H*W]. With ``use_pallas`` (inference-only:
-    the kernel defines no VJP) the fused Pallas kernel (ops/pallas_warp.py)
-    skips the [P+3, H*W] HBM intermediate; the jnp path below is the
-    reference semantics, the CPU/test path, and the differentiable path.
+    Returns (x_s, y_s) each [B, H*W]. ``grid_span`` gives the true canvas
+    dims when ``out_size`` is a padded superset (see ``_grid_1d``). With
+    ``use_pallas`` (inference-only: the kernel defines no VJP) the fused
+    Pallas kernel (ops/pallas_warp.py) skips the [P+3, H*W] HBM
+    intermediate; the jnp path below is the reference semantics, the
+    CPU/test path, and the differentiable path.
     """
     if use_pallas is None:
         use_pallas = False
     if use_pallas:
         from stabstitch2_tpu.ops.pallas_warp import tps_coords_fused
 
-        return tps_coords_fused(T, source, out_size)
+        return tps_coords_fused(T, source, out_size, grid_span=grid_span)
     out_h, out_w = out_size
-    grid3 = normalized_grid(out_h, out_w, T.dtype)  # [3, HW]
-    gx = jnp.broadcast_to(grid3[0][None, :], (source.shape[0], out_h * out_w))
-    gy = jnp.broadcast_to(grid3[1][None, :], (source.shape[0], out_h * out_w))
+    span_h, span_w = grid_span or out_size
+    x1 = _grid_1d(out_w, span_w, T.dtype)
+    y1 = _grid_1d(out_h, span_h, T.dtype)
+    gx1 = jnp.tile(x1[None, :], (out_h, 1)).reshape(-1)
+    gy1 = jnp.tile(y1[:, None], (1, out_w)).reshape(-1)
+    gx = jnp.broadcast_to(gx1[None, :], (source.shape[0], out_h * out_w))
+    gy = jnp.broadcast_to(gy1[None, :], (source.shape[0], out_h * out_w))
     rows = _eval_grid_rows(gx, gy, source)  # [B, P+3, HW]
     T_g = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)  # [B, 2, HW]
     return T_g[:, 0], T_g[:, 1]
@@ -137,7 +156,8 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
 def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
              out_size: Tuple[int, int], mode: str = "NORMAL",
              T: Optional[jnp.ndarray] = None,
-             use_pallas: Optional[bool] = None) -> jnp.ndarray:
+             use_pallas: Optional[bool] = None,
+             grid_span: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """TPS image warp. im: [B,H,W,C] NHWC; source/target: [B,P,2] normalized.
 
     ``source`` is the deformed mesh, ``target`` the rigid lattice — each
@@ -153,7 +173,8 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
     out_h, out_w = out_size
     if T is None:
         T = tps_params(source, target)
-    x_s, y_s = tps_sample_coords(T, source, out_size, use_pallas=use_pallas)
+    x_s, y_s = tps_sample_coords(T, source, out_size, use_pallas=use_pallas,
+                                 grid_span=grid_span)
     if mode == "NORMAL":
         sampled = bilinear_sample(im, x_s, y_s)
     elif mode == "FAST":

@@ -70,9 +70,10 @@ def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
-                                             "fusion_mode"))
+                                             "fusion_mode", "grid_span"))
 def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
-                     warp_mode: str, fusion_mode: str):
+                     warp_mode: str, fusion_mode: str,
+                     grid_span=None):
     """Warp+fuse a chunk of frames.
 
     img1/img2: [B, H, W, 3] uint8 (or float 0..255); mesh1/mesh2:
@@ -85,10 +86,14 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     img2 = img2.astype(jnp.float32)
     B, H, W, _ = img1.shape
     oh, ow = out_size
+    # normalize by the TRUE canvas (grid_span) like the reference
+    # (get_stable_sqe normalizes by out_height/out_width); TPS is only
+    # similarity-invariant, so the padded extent must not leak in
+    span_h, span_w = grid_span or out_size
     translated1 = mesh1 - offset
     translated2 = mesh2 - offset
-    norm1 = mesh_points(normalize_mesh(translated1, oh, ow))
-    norm2 = mesh_points(normalize_mesh(translated2, oh, ow))
+    norm1 = mesh_points(normalize_mesh(translated1, span_h, span_w))
+    norm2 = mesh_points(normalize_mesh(translated2, span_h, span_w))
     rigid = rigid_mesh(H, W, dtype=img1.dtype)
     norm_rigid = mesh_points(normalize_mesh(rigid, H, W))[None]
     norm_rigid = jnp.broadcast_to(norm_rigid, norm1.shape)
@@ -103,7 +108,8 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
 
     T = tps_params(source, target)
     warped = tps_warp(stack, source, target, (oh, ow), mode=warp_mode, T=T,
-                      use_pallas=pallas_available())
+                      use_pallas=pallas_available(),
+                      grid_span=(span_h, span_w))
     w1, w2 = warped[:B], warped[B:]
 
     if fusion_mode == "AVERAGE":
@@ -160,7 +166,8 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
             mm2 = jnp.concatenate([mm2, jnp.tile(mm2[-1:], (pad, 1, 1, 1))], 0)
         fused = _composite_chunk(i1, i2, mm1, mm2, offset,
                                  (canvas.pad_h, canvas.pad_w),
-                                 config.warp_mode, config.fusion_mode)
+                                 config.warp_mode, config.fusion_mode,
+                                 grid_span=(canvas.out_h, canvas.out_w))
         pending.append(fused[:e - s, :canvas.out_h, :canvas.out_w])
     # one bulk fetch: all chunks leave the device in a single transfer batch
     outs = jax.device_get(pending)

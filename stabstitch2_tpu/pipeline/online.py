@@ -158,7 +158,8 @@ class OnlineStitcher:
         fused = _composite_chunk(
             jnp.asarray(hi1)[None], jnp.asarray(hi2)[None], m1, m2,
             self._offset, (self.canvas.pad_h, self.canvas.pad_w),
-            self.cfg.warp_mode, self.cfg.fusion_mode)
+            self.cfg.warp_mode, self.cfg.fusion_mode,
+            grid_span=(self.canvas.out_h, self.canvas.out_w))
         return np.asarray(fused[0, :self.canvas.out_h, :self.canvas.out_w])
 
     def push(self, hi1: np.ndarray, hi2: np.ndarray) -> List[np.ndarray]:

@@ -145,14 +145,17 @@ class VideoStitcher:
 
 def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
                   model_h: int = MODEL_H, model_w: int = MODEL_W,
-                  chunk: int = 8) -> VideoStitcher:
+                  chunk: int = 8, compute_dtype=None) -> VideoStitcher:
     """Fresh stitcher with randomly initialized models (for tests/benches;
-    real use loads converted or trained checkpoints via utils.checkpoint)."""
+    real use loads converted or trained checkpoints via utils.checkpoint).
+    ``compute_dtype=jnp.bfloat16`` runs the conv backbones in bf16 (params
+    stay f32); geometry stays f32 regardless."""
     import jax
 
-    spatial = SpatialNet()
-    temporal = TemporalNet()
-    smooth = SmoothNet()
+    dt = compute_dtype or jnp.float32
+    spatial = SpatialNet(dtype=dt)
+    temporal = TemporalNet(dtype=dt)
+    smooth = SmoothNet(dtype=dt)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
     img = jnp.zeros((1, model_h, model_w, 3))
     sv = spatial.init(k1, img, img, False)

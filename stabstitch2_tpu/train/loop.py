@@ -71,6 +71,9 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
     variables = net.init(rng, img, img, False)
 
     dataset = SpatialPairDataset(train_path, training=True, seed=seed)
+    if len(dataset) < cfg.batch_size:
+        raise ValueError(f"dataset too small: {len(dataset)} samples "
+                         f"< batch size {cfg.batch_size}")
     steps_per_epoch = min(len(dataset) // cfg.batch_size,
                           max_steps_per_epoch or 10 ** 9)
     state = create_train_state(variables, cfg, steps_per_epoch)
@@ -159,6 +162,9 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
     variables = net.init(rng, img, img, False)
 
     dataset = TemporalPairDataset(train_path, cfg.train_frame_num, seed=seed)
+    if len(dataset) < cfg.batch_size:
+        raise ValueError(f"dataset too small: {len(dataset)} samples "
+                         f"< batch size {cfg.batch_size}")
     steps_per_epoch = min(len(dataset) // cfg.batch_size,
                           max_steps_per_epoch or 10 ** 9)
     state = create_train_state(variables, cfg, steps_per_epoch)
@@ -207,6 +213,10 @@ def train_smooth(train_path: str, cfg: Optional[SmoothTrainConfig] = None,
     dataset = SmoothWindowDataset(
         train_path, selected_frames=cfg.frame_num + cfg.train_sqe - 1,
         train_frame_num=cfg.train_frame_num, seed=seed)
+    if len(dataset) < cfg.batch_size:
+        raise ValueError(f"dataset too small: {len(dataset)} windows "
+                         f"< batch size {cfg.batch_size} (did you run "
+                         f"export-motions first?)")
     steps_per_epoch = min(len(dataset) // cfg.batch_size,
                           max_steps_per_epoch or 10 ** 9)
     state = create_train_state(variables, cfg, steps_per_epoch)

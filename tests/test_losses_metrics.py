@@ -105,3 +105,21 @@ class TestPathContinuation:
     def test_stability_zero_for_constant_path(self):
         path = jnp.ones((12, 7, 9, 2)) * 5.0
         assert float(stability_score(path)) < 1e-10
+
+
+class TestStabilityOracle:
+    def test_matches_explicit_formula(self):
+        rng = np.random.default_rng(7)
+        path = rng.normal(0, 1, (12, 7, 9, 2)).astype(np.float32)
+
+        def l2(a, b):
+            return np.mean(np.abs((a - b) ** 2))
+
+        p = path
+        mid = p[3:-3]
+        expected = 0.0
+        expected += (l2(p[:-6], mid) + l2(p[6:], mid)) * 0.1
+        expected += (l2(p[1:-5], mid) + l2(p[5:-1], mid)) * 0.3
+        expected += (l2(p[2:-4], mid) + l2(p[4:-2], mid)) * 0.9
+        got = float(stability_score(jnp.asarray(path)))
+        np.testing.assert_allclose(got, expected, rtol=1e-5)

@@ -218,3 +218,33 @@ class TestNativeLoader:
         assert all(f[1].shape == (32, 40, 3) for f in frames)
         # frames differ from each other (ring slots not aliased)
         assert not np.array_equal(frames[0][0], frames[5][0])
+
+
+class TestCanvasPaddingInvariance:
+    def test_padding_does_not_change_pixels(self):
+        # identical crops regardless of bucket size: the padded grid must
+        # keep the true canvas's normalization (TPS is not invariant under
+        # anisotropic rescaling)
+        from stabstitch2_tpu.pipeline.compositor import composite_video
+        from stabstitch2_tpu.config import StitchConfig
+
+        rng = np.random.default_rng(0)
+        T, H, W = 2, 90, 120
+        img1 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        img2 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        xs = np.linspace(0, 120, 9)
+        ys = np.linspace(0, 90, 7)
+        base = np.stack(np.meshgrid(xs, ys), -1)[None]
+        m1 = jnp.asarray((base + rng.normal(0, 3, (T, 7, 9, 2))
+                          ).astype(np.float32))
+        m2 = jnp.asarray((base + rng.normal(0, 3, (T, 7, 9, 2)) + 20
+                          ).astype(np.float32))
+        f_small, c_small = composite_video(
+            img1, img2, m1, m2, chunk=2, model_size=(H, W),
+            config=StitchConfig(canvas_bucket=1))
+        f_big, c_big = composite_video(
+            img1, img2, m1, m2, chunk=2, model_size=(H, W),
+            config=StitchConfig(canvas_bucket=64))
+        assert (c_small.out_h, c_small.out_w) == (c_big.out_h, c_big.out_w)
+        assert c_big.pad_h > c_small.pad_h  # padding actually differs
+        np.testing.assert_array_equal(f_small, f_big)
