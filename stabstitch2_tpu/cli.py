@@ -137,7 +137,6 @@ def cmd_export(args):
 
 
 def cmd_convert(args):
-    from stabstitch2_tpu.pipeline.stitcher import init_stitcher
     from stabstitch2_tpu.utils.checkpoint import save_triad, triad_from_reference
 
     sv, tv, mv = triad_from_reference(args.reference_pth_dir)

@@ -44,8 +44,9 @@ class SpatialPairDataset:
     """Cross-view frame pairs for SpatialWarp training."""
 
     def __init__(self, data_path: str, training: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, model_size=(MODEL_H, MODEL_W)):
         self.training = training
+        self.model_size = model_size
         self.rng = np.random.default_rng(seed)
         self.samples: List[Tuple[str, str]] = []
         skip = 2 if training else 0
@@ -59,7 +60,8 @@ class SpatialPairDataset:
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         p1, p2 = self.samples[i]
-        a, b = _load_image(p1), _load_image(p2)
+        mh, mw = self.model_size
+        a, b = _load_image(p1, mw, mh), _load_image(p2, mw, mh)
         if self.training and self.rng.random() < 0.5:
             a, b = b, a  # random view swap (dataset.py:49-53)
         return a, b
@@ -69,8 +71,9 @@ class TemporalPairDataset:
     """Random-gap consecutive-ish pairs from view 2 for TemporalWarp."""
 
     def __init__(self, data_path: str, train_frame_num: int = 4,
-                 seed: int = 0):
+                 seed: int = 0, model_size=(MODEL_H, MODEL_W)):
         self.rng = np.random.default_rng(seed)
+        self.model_size = model_size
         self.train_frame_num = train_frame_num
         self.windows: List[List[str]] = []
         for vd in _video_dirs(data_path):
@@ -84,7 +87,8 @@ class TemporalPairDataset:
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         w = self.windows[i]
         a, b = sorted(self.rng.choice(len(w), size=2, replace=False))
-        return _load_image(w[a]), _load_image(w[b])
+        mh, mw = self.model_size
+        return _load_image(w[a], mw, mh), _load_image(w[b], mw, mh)
 
 
 class SmoothWindowDataset:
@@ -96,8 +100,10 @@ class SmoothWindowDataset:
     """
 
     def __init__(self, data_path: str, selected_frames: int = 8,
-                 train_frame_num: int = 12, seed: int = 0):
+                 train_frame_num: int = 12, seed: int = 0,
+                 model_size=(MODEL_H, MODEL_W)):
         self.rng = np.random.default_rng(seed)
+        self.model_size = model_size
         self.selected = selected_frames
         self.train_frame_num = train_frame_num
         self.windows = []  # list of dicts of aligned path lists
@@ -128,8 +134,9 @@ class SmoothWindowDataset:
         tm2 = np.stack([np.load(w["tm2"][j]).astype(np.float32) for j in idx])
         sm1 = np.stack([np.load(w["sm1"][j]).astype(np.float32) for j in idx])
         sm2 = np.stack([np.load(w["sm2"][j]).astype(np.float32) for j in idx])
-        im1 = np.stack([_load_image(w["img1"][j]) for j in idx])
-        im2 = np.stack([_load_image(w["img2"][j]) for j in idx])
+        mh, mw = self.model_size
+        im1 = np.stack([_load_image(w["img1"][j], mw, mh) for j in idx])
+        im2 = np.stack([_load_image(w["img2"][j], mw, mh) for j in idx])
         return tm1, tm2, sm1, sm2, im1, im2
 
 
