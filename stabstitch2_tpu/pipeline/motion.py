@@ -83,6 +83,43 @@ class MotionEstimator:
             m2.append(o2[:e - s])
         return jnp.concatenate(m1, 0), jnp.concatenate(m2, 0)
 
+    def spatial_chunks(self, chunks1, chunks2, total: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Like :meth:`spatial` but over pre-uploaded device chunk lists —
+        chunk k's compute is enqueued as soon as chunk k's upload lands,
+        overlapping host->device streaming with the backbone."""
+        m1, m2 = [], []
+        done = 0
+        for a, b in zip(chunks1, chunks2):
+            o1, o2 = self._spatial(self.spatial_vars, a, b)
+            keep = min(self.chunk, total - done)
+            m1.append(o1[:keep])
+            m2.append(o2[:keep])
+            done += keep
+        return jnp.concatenate(m1, 0), jnp.concatenate(m2, 0)
+
+    def features_chunks(self, chunks, total: int) -> jnp.ndarray:
+        feats = []
+        done = 0
+        for c in chunks:
+            f = self._features(self.temporal_vars, c)
+            keep = min(self.chunk, total - done)
+            feats.append(f[:keep])
+            done += keep
+        return jnp.concatenate(feats, 0)
+
+    def temporal_from_features(self, feats: jnp.ndarray) -> jnp.ndarray:
+        T = feats.shape[0]
+        motions = []
+        for s, e in self._chunks(T - 1):
+            fp = self._pad_to(feats[s:e], self.chunk)
+            fn = self._pad_to(feats[s + 1:e + 1], self.chunk)
+            m = self._pair_motion(self.temporal_vars, fp, fn)
+            motions.append(m[:e - s])
+        motion = jnp.concatenate(motions, 0)
+        zero = jnp.zeros_like(motion[:1])
+        return jnp.concatenate([zero, motion], 0)
+
     def temporal(self, frames: jnp.ndarray) -> jnp.ndarray:
         """frames: [T, H, W, 3] -> motions [T, GH+1, GW+1, 2], zeros at t=0."""
         T = frames.shape[0]

@@ -54,6 +54,10 @@ class VideoStitcher:
     chunk: int = 8
     model_h: int = MODEL_H
     model_w: int = MODEL_W
+    # 'bulk' = one upload per video (fastest through a high-latency link);
+    # 'stream' = per-chunk uploads interleaved with motion compute (right
+    # choice on real PCIe hosts; measured slower through the dev tunnel)
+    upload_mode: str = "bulk"
 
     def __post_init__(self):
         self._motion = MotionEstimator(self.spatial_net, self.spatial_vars,
@@ -84,20 +88,49 @@ class VideoStitcher:
         fps: Dict[str, float] = {}
         t0 = time.time()
 
-        hi1_dev, hi2_dev = hi1, hi2
-        if lo1 is None or lo2 is None:
-            hi1_dev = jnp.asarray(np.ascontiguousarray(hi1, dtype=np.uint8))
-            hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, dtype=np.uint8))
-            lo1j = self._preprocess(hi1_dev, self.model_h, self.model_w)
-            lo2j = self._preprocess(hi2_dev, self.model_h, self.model_w)
-        else:
-            lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
-
-        # phase 1+2: spatial + temporal motion
         mh, mw = self.model_h, self.model_w
-        smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
-        tmotion1 = self._motion.temporal(lo1j)
-        tmotion2 = self._motion.temporal(lo2j)
+        if (lo1 is None or lo2 is None) and self.upload_mode == "stream":
+            # per-chunk uploads with each chunk's preprocess+motion work
+            # enqueued as its upload lands (overlaps h2d with compute)
+            c = self.chunk
+            h1 = np.ascontiguousarray(hi1, dtype=np.uint8)
+            h2 = np.ascontiguousarray(hi2, dtype=np.uint8)
+
+            def upload_chunks(h):
+                out = []
+                for s in range(0, T, c):
+                    e = min(s + c, T)
+                    piece = h[s:e]
+                    if e - s < c:  # pad tail to the compiled chunk shape
+                        piece = np.concatenate(
+                            [piece, np.repeat(piece[-1:], c - (e - s), 0)], 0)
+                    out.append(jax.device_put(piece))
+                return out
+
+            chunks1 = upload_chunks(h1)
+            chunks2 = upload_chunks(h2)
+            lo1_chunks = [self._preprocess(x, mh, mw) for x in chunks1]
+            lo2_chunks = [self._preprocess(x, mh, mw) for x in chunks2]
+            smotion1, smotion2 = self._motion.spatial_chunks(
+                lo1_chunks, lo2_chunks, T)
+            feats1 = self._motion.features_chunks(lo1_chunks, T)
+            feats2 = self._motion.features_chunks(lo2_chunks, T)
+            tmotion1 = self._motion.temporal_from_features(feats1)
+            tmotion2 = self._motion.temporal_from_features(feats2)
+            hi1_dev = jnp.concatenate(chunks1, 0)[:T]
+            hi2_dev = jnp.concatenate(chunks2, 0)[:T]
+        else:
+            if lo1 is None or lo2 is None:
+                hi1_dev = jnp.asarray(np.ascontiguousarray(hi1, np.uint8))
+                hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, np.uint8))
+                lo1j = self._preprocess(hi1_dev, mh, mw)
+                lo2j = self._preprocess(hi2_dev, mh, mw)
+            else:
+                hi1_dev, hi2_dev = hi1, hi2
+                lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
+            smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
+            tmotion1 = self._motion.temporal(lo1j)
+            tmotion2 = self._motion.temporal(lo2j)
         jnp.stack([tmotion1[0], tmotion2[0]]).block_until_ready()
         fps["spatial_temporal"] = T / (time.time() - t0)
 
