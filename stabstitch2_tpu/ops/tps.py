@@ -24,7 +24,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from stabstitch2_tpu.ops.homography import normalized_grid
 from stabstitch2_tpu.ops.interp import bilinear_sample, grid_sample_align_corners
 from stabstitch2_tpu.ops.precision import HIGHEST
 

@@ -22,7 +22,6 @@ tests/test_online_mode.py (streaming vs pipeline smooth meshes).
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
 import jax

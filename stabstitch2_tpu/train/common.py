@@ -7,7 +7,7 @@ epoch, global-norm gradient clip at 3.0.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from stabstitch2_tpu.config import GRID_H, GRID_W, MODEL_H, MODEL_W
+from stabstitch2_tpu.config import MODEL_H, MODEL_W
 
 
 def l_num_loss(a: jnp.ndarray, b: jnp.ndarray, l_num: int = 1) -> jnp.ndarray:
