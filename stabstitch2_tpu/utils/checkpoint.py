@@ -105,8 +105,17 @@ def stitcher_from_checkpoint(ckpt_dir: Optional[str] = None,
 
     stitcher = init_stitcher(**stitcher_kwargs)
     if reference_pth_dir:
+        missing = [n for n in ("spatial_warp.pth", "temporal_warp.pth",
+                               "smooth_warp.pth")
+                   if not os.path.exists(os.path.join(reference_pth_dir, n))]
+        if missing:  # reference exits with 'No checkpoint found!'
+            raise FileNotFoundError(
+                f"reference triad incomplete in {reference_pth_dir}: "
+                f"missing {missing}")
         sv, tv, mv = triad_from_reference(reference_pth_dir)
     elif ckpt_dir:
+        if not os.path.exists(os.path.join(ckpt_dir, "triad")):
+            raise FileNotFoundError(f"no triad checkpoint under {ckpt_dir}")
         sv, tv, mv = load_triad(ckpt_dir, stitcher.spatial_vars,
                                 stitcher.temporal_vars, stitcher.smooth_vars)
     else:
