@@ -119,3 +119,85 @@ class TestConverterStrict:
         sd = unpack_sd(g)
         ti.convert_state_dict(sd, ti._stage1_entries(
             "feature_extractor_stage1", "stage1"), strict=True)
+
+
+class TestFullCheckpointSchemas:
+    """Prove the converter maps the reference nets' full state_dicts onto
+    our Flax trees (schemas captured by tests/golden_gen/make_ckpt_schema.py
+    from structural torch mirrors of the reference module trees)."""
+
+    # defined-but-unused parameters in the reference (dead code there):
+    DEAD = {
+        "spatial": (),
+        # TemporalWarp defines feature_extractor_stage2 but never calls it
+        "temporal": ("feature_extractor_stage2.",),
+        # SmoothWarp defines embedding2 but never calls it
+        "smooth": ("MotionPre.embedding2.",),
+    }
+
+    @pytest.fixture(scope="class")
+    def schemas(self):
+        import json
+        import pathlib
+
+        path = pathlib.Path(__file__).parent / "goldens" / "ckpt_schemas.json"
+        if not path.exists():
+            pytest.skip("schemas missing")
+        with open(path) as f:
+            return json.load(f)
+
+    def _flax_tree(self, which):
+        import jax
+
+        key = jax.random.PRNGKey(0)
+        if which == "spatial":
+            net = SpatialNet()
+            img = jax.ShapeDtypeStruct((1, 360, 480, 3), jnp.float32)
+            return jax.eval_shape(lambda r, a, b: net.init(r, a, b, False),
+                                  key, img, img)
+        if which == "temporal":
+            net = TemporalNet()
+            img = jax.ShapeDtypeStruct((1, 360, 480, 3), jnp.float32)
+            return jax.eval_shape(lambda r, a, b: net.init(r, a, b, False),
+                                  key, img, img)
+        net = SmoothNet()
+        mesh = jax.ShapeDtypeStruct((1, 7, 7, 9, 2), jnp.float32)
+        return jax.eval_shape(
+            lambda r, m: net.init(r, m, m, m, m), key, mesh)
+
+    @pytest.mark.parametrize("which", ["spatial", "temporal", "smooth"])
+    def test_schema_converts_onto_flax_tree(self, schemas, which):
+        rng = np.random.default_rng(0)
+        sd = {k: rng.normal(0, 1, shape).astype(np.float32)
+              for k, shape in schemas[which].items()}
+        mapping = {"spatial": ti.spatial_mapping,
+                   "temporal": ti.temporal_mapping,
+                   "smooth": ti.smooth_mapping}[which]()
+        params, stats = ti.convert_state_dict(sd, mapping)
+
+        expected = self._flax_tree(which)
+        import jax
+
+        got = {"params": params}
+        if stats:
+            got["batch_stats"] = stats
+        exp_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(expected)[0]}
+        got_paths = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(got)[0]}
+        assert exp_paths == got_paths, (
+            set(exp_paths) ^ set(got_paths) or "shape mismatch")
+
+        # every torch key consumed except the documented dead ones
+        consumed = set()
+        for tname, _, kind in mapping:
+            for suffix in ("weight", "bias", "running_mean", "running_var"):
+                k = f"{tname}.{suffix}"
+                if k in sd:
+                    consumed.add(k)
+        leftover = [k for k in sd if k not in consumed
+                    and "num_batches_tracked" not in k]
+        dead_prefixes = self.DEAD[which]
+        unexpected = [k for k in leftover
+                      if not any(k.startswith(p) for p in dead_prefixes)]
+        assert not unexpected, unexpected
