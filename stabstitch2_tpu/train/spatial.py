@@ -38,7 +38,7 @@ def spatial_train_outputs(net: SpatialNet, variables, img1, img2,
     else:
         a1, a2 = img1, img2
 
-    mutable = ["batch_stats"] if train else []
+    mutable = ["batch_stats"] if train else False
     out = net.apply(variables, a1, a2, train, mutable=mutable)
     (offset_1, mesh_motion_ref, mesh_motion_tgt), new_vars = (
         out if train else (out, {}))

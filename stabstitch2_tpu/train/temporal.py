@@ -31,7 +31,7 @@ def temporal_train_outputs(net: TemporalNet, variables, img_prev, img_next,
     else:
         a1, a2 = img_prev, img_next
 
-    mutable = ["batch_stats"] if train else []
+    mutable = ["batch_stats"] if train else False
     out = net.apply(variables, a1, a2, train, mutable=mutable)
     motion, new_vars = out if train else (out, {})
 

@@ -96,3 +96,26 @@ class TestDataAug:
         assert float(jnp.max(a1)) <= 1.0 and float(jnp.min(a2)) >= -1.0
         # brightness/color jitter actually changes values
         assert not np.allclose(np.asarray(a1), np.asarray(img))
+
+
+class TestEvalMode:
+    def test_spatial_train_outputs_eval_path(self):
+        # regression: train=False must not unpack a (out, vars) tuple
+        from stabstitch2_tpu.train.spatial import spatial_train_outputs
+        net = SpatialNet()
+        img1, img2 = _clip_pair()
+        variables = net.init(jax.random.PRNGKey(0), img1[:1], img2[:1], False)
+        out, new_vars = spatial_train_outputs(net, variables, img1[:1],
+                                              img2[:1], train=False)
+        assert new_vars == {}
+        assert out["output_tps_ref"].shape[-1] == 4
+
+    def test_temporal_train_outputs_eval_path(self):
+        from stabstitch2_tpu.train.temporal import temporal_train_outputs
+        net = TemporalNet()
+        img1, img2 = _clip_pair(seed=5)
+        variables = net.init(jax.random.PRNGKey(0), img1[:1], img2[:1], False)
+        out, new_vars = temporal_train_outputs(net, variables, img1[:1],
+                                               img2[:1], train=False)
+        assert new_vars == {}
+        assert out["output_mesh"].shape[-1] == 6
