@@ -11,7 +11,9 @@ Parity targets:
   ``frame_num`` sorted random indices; videos shorter than 12 are skipped.
 
 Implementation is plain numpy + cv2 with a background-thread prefetcher
-(one host core here; the TPU never waits on more than one batch).
+(one host core here; the TPU never waits on more than one batch). Frames
+are yielded as uint8 — the train steps normalize on device, so batches
+cross the host<->device link 4x cheaper.
 """
 
 from __future__ import annotations
@@ -30,9 +32,11 @@ from stabstitch2_tpu.config import MODEL_H, MODEL_W
 
 def _load_image(path: str, width: int = MODEL_W,
                 height: int = MODEL_H) -> np.ndarray:
+    """uint8 HWC frame — normalization to [-1,1] happens ON DEVICE inside
+    the train steps (uint8 batches cross the host<->device link 4x cheaper;
+    see train/common.py:normalize_images)."""
     img = cv2.imread(path)
-    img = cv2.resize(img, (width, height)).astype(np.float32) / 127.5 - 1.0
-    return img  # HWC, [-1, 1]
+    return cv2.resize(img, (width, height))
 
 
 def _video_dirs(root: str) -> List[str]:

@@ -59,6 +59,13 @@ def create_train_state(variables, cfg: TrainConfig,
                       tx=tx)
 
 
+def normalize_images(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 0..255 -> float32 [-1,1] on device (no-op for float inputs)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 127.5 - 1.0
+    return img
+
+
 def data_aug_pair(rng: jax.Array, img1: jnp.ndarray, img2: jnp.ndarray):
     """Per-batch brightness/color jitter (reference network.py:65-86).
 

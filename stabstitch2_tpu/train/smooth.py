@@ -33,7 +33,7 @@ from stabstitch2_tpu.ops.mesh import (
 from stabstitch2_tpu.ops.resize import resize_bicubic
 from stabstitch2_tpu.ops.tps import tps_params_shared_source, tps_transform_points
 from stabstitch2_tpu.train import losses
-from stabstitch2_tpu.train.common import TrainState
+from stabstitch2_tpu.train.common import TrainState, normalize_images
 
 
 def transport_window(tmotion: jnp.ndarray, smotion: jnp.ndarray,
@@ -128,6 +128,8 @@ def smooth_loss_fn(params, net: SmoothNet, batch, cfg: SmoothTrainConfig
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Six-term loss over train_sqe shifted windows (train_ssd.py:106-203)."""
     tmotion1, tmotion2, smotion1, smotion2, img1, img2 = batch
+    img1 = normalize_images(img1)
+    img2 = normalize_images(img2)
     F = cfg.frame_num
     data = smoothness = shape = trajectory = align = 0.0
     paths1, paths2 = [], []

@@ -25,13 +25,16 @@ from stabstitch2_tpu.ops import (
 )
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
 from stabstitch2_tpu.train import losses
-from stabstitch2_tpu.train.common import TrainState, data_aug_pair
+from stabstitch2_tpu.train.common import (TrainState, data_aug_pair,
+                                           normalize_images)
 
 
 def spatial_train_outputs(net: SpatialNet, variables, img1, img2,
                           train: bool = True, rng: Optional[jax.Array] = None
                           ) -> Tuple[Dict[str, jnp.ndarray], dict]:
     """Forward + warp assembly for the loss (reference build_model)."""
+    img1 = normalize_images(img1)
+    img2 = normalize_images(img2)
     B, H, W, _ = img1.shape
     if train and rng is not None:
         a1, a2 = data_aug_pair(rng, img1, img2)

@@ -19,12 +19,15 @@ from stabstitch2_tpu.models import TemporalNet
 from stabstitch2_tpu.ops import tps_warp
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
 from stabstitch2_tpu.train import losses
-from stabstitch2_tpu.train.common import TrainState, data_aug_pair
+from stabstitch2_tpu.train.common import (TrainState, data_aug_pair,
+                                           normalize_images)
 
 
 def temporal_train_outputs(net: TemporalNet, variables, img_prev, img_next,
                            train: bool = True,
                            rng: Optional[jax.Array] = None):
+    img_prev = normalize_images(img_prev)
+    img_next = normalize_images(img_next)
     B, H, W, _ = img_prev.shape
     if train and rng is not None:
         a1, a2 = data_aug_pair(rng, img_prev, img_next)
@@ -50,6 +53,8 @@ def temporal_train_outputs(net: TemporalNet, variables, img_prev, img_next,
 def temporal_loss_fn(params, batch_stats, net, img_prev, img_next, rng,
                      cfg: TemporalTrainConfig):
     variables = {"params": params, "batch_stats": batch_stats}
+    img_prev = normalize_images(img_prev)
+    img_next = normalize_images(img_next)
     out, new_vars = temporal_train_outputs(net, variables, img_prev, img_next,
                                            train=True, rng=rng)
     overlap = losses.temporal_photometric_loss(img_prev, out["output_mesh"])

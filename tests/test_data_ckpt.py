@@ -40,7 +40,7 @@ class TestSamplers:
         assert len(train) == 2 * (10 - 2)
         assert len(test) == 2 * 10
         a, b = train[0]
-        assert a.shape == b.shape and a.min() >= -1.0 and a.max() <= 1.0
+        assert a.shape == b.shape and a.dtype == np.uint8
 
     def test_temporal_windows(self, tmp_path):
         from stabstitch2_tpu.data.datasets import TemporalPairDataset
