@@ -33,6 +33,8 @@ def _add_stitcher_args(p):
                    default=None)
     p.add_argument("--preset", choices=["ssd", "tra"], default="ssd")
     p.add_argument("--chunk", type=int, default=8)
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace here")
 
 
 def _build_stitcher(args):
@@ -56,11 +58,14 @@ def cmd_stitch(args):
         print(f"no videos under {args.test_path}", file=sys.stderr)
         return 1
     os.makedirs(args.output_path, exist_ok=True)
+    from stabstitch2_tpu.utils.profiling import trace
+
     for vd in videos:
         name = os.path.basename(vd)
         out = os.path.join(args.output_path, name + ".mp4")
         t0 = time.time()
-        result = stitcher.stitch_video_dir(vd, out)
+        with trace(args.trace_dir):
+            result = stitcher.stitch_video_dir(vd, out)
         print(f"{name}: {result.frames.shape[0]} frames -> {out} "
               f"canvas={result.canvas.out_w}x{result.canvas.out_h} "
               f"fps={ {k: round(v, 2) for k, v in result.fps.items()} } "

@@ -15,6 +15,8 @@ from typing import Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from stabstitch2_tpu.metrics.psnr_ssim import psnr, ssim
 from stabstitch2_tpu.metrics.scores import (
     continue_paths,
@@ -88,10 +90,10 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
     ov = w1[..., 3:6] * w2[..., 3:6]
     a = w1[..., 0:3] * ov
     b = w2[..., 0:3] * ov
-    psnrs = [float(psnr(a[t], b[t])) for t in range(a.shape[0])]
-    ssims = [float(ssim(a[t], b[t])) for t in range(a.shape[0])]
+    psnrs = jax.jit(jax.vmap(psnr))(a, b)
+    ssims = jax.jit(jax.vmap(ssim))(a, b)
 
-    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+    return {"psnr": float(jnp.mean(psnrs)), "ssim": float(jnp.mean(ssims)),
             "stability": stab, "distortion": dist}
 
 
