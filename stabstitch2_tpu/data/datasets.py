@@ -39,6 +39,20 @@ def _load_image(path: str, width: int = MODEL_W,
     return cv2.resize(img, (width, height))
 
 
+def _decode_many(paths: List[str], mh: int, mw: int) -> np.ndarray:
+    """Batch-decode frames at model resolution (native C++ when built)."""
+    from stabstitch2_tpu.data import native
+
+    if native.available():
+        try:
+            _, lo = native.decode_batch(paths, lo_size=(mh, mw),
+                                        want_hi=False, threads=2)
+            return lo
+        except (IOError, RuntimeError):
+            pass
+    return np.stack([_load_image(p, mw, mh) for p in paths])
+
+
 def _video_dirs(root: str) -> List[str]:
     return sorted(p for p in glob.glob(os.path.join(root, "*"))
                   if os.path.isdir(p))
@@ -68,6 +82,21 @@ class SpatialPairDataset:
         a, b = _load_image(p1, mw, mh), _load_image(p2, mw, mh)
         if self.training and self.rng.random() < 0.5:
             a, b = b, a  # random view swap (dataset.py:49-53)
+        return a, b
+
+    def get_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched fast path: one native decode for all 2B frames."""
+        mh, mw = self.model_size
+        pairs = [self.samples[int(i)] for i in indices]
+        flat = [p for pair in pairs for p in pair]
+        imgs = _decode_many(flat, mh, mw)
+        a, b = imgs[0::2], imgs[1::2]
+        if self.training:
+            swap = self.rng.random(len(pairs)) < 0.5
+            a = np.where(swap[:, None, None, None], b, a)
+            b_out = np.where(swap[:, None, None, None],
+                             imgs[0::2], b)
+            return a, b_out
         return a, b
 
 
@@ -154,9 +183,14 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
         rng.shuffle(order)
     stops = len(order) - (len(order) % batch_size if drop_last else 0)
 
+    get_batch = getattr(dataset, "get_batch", None)
+
     def produce(q: queue.Queue):
         for s in range(0, stops, batch_size):
             idx = order[s:s + batch_size]
+            if get_batch is not None:
+                q.put(get_batch(idx))
+                continue
             items = [dataset[int(i)] for i in idx]
             if isinstance(items[0], tuple):
                 q.put(tuple(np.stack(col) for col in zip(*items)))

@@ -73,15 +73,20 @@ def probe(path: str) -> Tuple[int, int]:
 
 
 def decode_batch(paths: List[str], lo_size: Optional[Tuple[int, int]] = None,
-                 threads: int = 4
-                 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Decode JPEGs -> (hi uint8 [N,H,W,3] BGR, lo uint8 [N,lh,lw,3] or None)."""
+                 threads: int = 4, want_hi: bool = True
+                 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Decode JPEGs -> (hi uint8 [N,H,W,3] BGR or None, lo uint8 or None).
+
+    ``want_hi=False`` skips the full-resolution copies (training samplers
+    only need the model-resolution frames).
+    """
     lib = _find_lib()
     if lib is None:
         raise RuntimeError("native frameloader not built (make -C native)")
     w, h = probe(paths[0])
     n = len(paths)
-    hi = np.empty((n, h, w, 3), np.uint8)
+    hi = np.empty((n, h, w, 3), np.uint8) if want_hi else None
+    hi_ptr = hi.ctypes.data_as(ctypes.c_void_p) if want_hi else None
     lo = None
     lo_ptr, lw, lh = None, 0, 0
     if lo_size is not None:
@@ -89,8 +94,7 @@ def decode_batch(paths: List[str], lo_size: Optional[Tuple[int, int]] = None,
         lo = np.empty((n, lh, lw, 3), np.uint8)
         lo_ptr = lo.ctypes.data_as(ctypes.c_void_p)
     errors = lib.fl_decode_batch(
-        _c_paths(paths), n, w, h, hi.ctypes.data_as(ctypes.c_void_p),
-        lw, lh, lo_ptr, threads)
+        _c_paths(paths), n, w, h, hi_ptr, lw, lh, lo_ptr, threads)
     if errors:
         raise IOError(f"{errors} frames failed to decode (size mismatch?)")
     return hi, lo

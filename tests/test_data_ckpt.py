@@ -111,3 +111,18 @@ class TestCheckpoints:
                                  "step": np.int32(0)})
         np.testing.assert_allclose(restored["params"]["k"], 7.0)
         assert int(restored["step"]) == 42
+
+
+class TestBatchFastPath:
+    def test_get_batch_matches_items(self, tmp_path):
+        from stabstitch2_tpu.data.datasets import SpatialPairDataset
+
+        root = _make_dataset_tree(tmp_path, num_videos=1, frames=8)
+        ds = SpatialPairDataset(root, training=False, model_size=(64, 80))
+        idx = [0, 3, 5]
+        a_b, b_b = ds.get_batch(idx)
+        for row, i in enumerate(idx):
+            a, b = ds[i]
+            # native decoder may differ from cv2 by ~1 LSB
+            assert np.mean(np.abs(a_b[row].astype(int) - a.astype(int))) < 2.0
+            assert np.mean(np.abs(b_b[row].astype(int) - b.astype(int))) < 2.0
