@@ -119,3 +119,24 @@ class TestEvalMode:
                                                img2[:1], train=False)
         assert new_vars == {}
         assert out["output_mesh"].shape[-1] == 6
+
+
+class TestPerceptualPath:
+    def test_spatial_step_with_vgg(self):
+        from stabstitch2_tpu.models import VGG19Features
+        from stabstitch2_tpu.train.spatial import make_vgg_apply
+
+        cfg = SpatialTrainConfig(batch_size=2, perception_weight=1e-3)
+        net = SpatialNet()
+        img1, img2 = _clip_pair(seed=9)
+        variables = net.init(jax.random.PRNGKey(0), img1[:1], img2[:1], False)
+        state = create_train_state(variables, cfg, steps_per_epoch=5)
+        vgg = VGG19Features()
+        vgg_vars = vgg.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, MH, MW, 3)))
+        vgg_apply = make_vgg_apply(vgg_vars)
+        new_state, metrics = spatial_train_step(
+            state, img1, img2, jax.random.PRNGKey(2), net, cfg, vgg_apply)
+        assert "perception" in metrics
+        assert np.isfinite(float(metrics["perception"]))
+        assert np.isfinite(float(metrics["total"]))
