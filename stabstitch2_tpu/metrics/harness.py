@@ -78,10 +78,13 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
                                 smesh1, smesh2, ts1, ts2,
                                 window=stitcher.config.window)
 
-    # stability + distortion on view 2 (reference convention)
-    _, smooth_path2 = continue_paths(smooth["win_ori_path2"],
-                                     smooth["win_smooth_path2"])
+    # stability + distortion on view 2, both original and smoothed
+    # (the reference prints the before/after pair, test_metric_ssd.py:444-501)
+    ori_path2, smooth_path2 = continue_paths(smooth["win_ori_path2"],
+                                             smooth["win_smooth_path2"])
+    stab_ori = float(stability_score(ori_path2))
     stab = float(stability_score(smooth_path2))
+    dist_ori = float(distortion_score(smooth["ori_mesh2"]))
     dist = float(distortion_score(smooth["smooth_mesh2"]))
 
     # alignment PSNR/SSIM from separately-warped views
@@ -94,7 +97,8 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
     ssims = jax.jit(jax.vmap(ssim))(a, b)
 
     return {"psnr": float(jnp.mean(psnrs)), "ssim": float(jnp.mean(ssims)),
-            "stability": stab, "distortion": dist}
+            "stability": stab, "distortion": dist,
+            "stability_ori": stab_ori, "distortion_ori": dist_ori}
 
 
 def evaluate_dataset(stitcher, dataset_dir: str,

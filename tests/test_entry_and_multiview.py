@@ -90,7 +90,8 @@ class TestCLI:
         with open(tmp_path / "report.json") as f:
             report = json.load(f)
         avg = report["average"]
-        assert set(avg) == {"psnr", "ssim", "stability", "distortion"}
+        assert set(avg) == {"psnr", "ssim", "stability", "distortion",
+                            "stability_ori", "distortion_ori"}
         assert np.isfinite(list(avg.values())).all()
 
 
