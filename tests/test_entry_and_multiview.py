@@ -126,3 +126,26 @@ class TestParallelTrain:
         new_state, metrics = jitted(sstate, *b)
         assert np.isfinite(float(metrics["total"]))
         assert mesh.shape["data"] * mesh.shape["model"] == 8
+
+
+class TestChainFusionModes:
+    def test_composite_chain_linear_and_average(self):
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.threeview import composite_chain
+
+        rng = np.random.default_rng(0)
+        T, H, W = 2, 60, 80
+        imgs = [rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+                for _ in range(3)]
+        xs = np.linspace(0, W, 9)
+        ys = np.linspace(0, H, 7)
+        base = np.stack(np.meshgrid(xs, ys), -1)[None]
+        meshes = [jnp.asarray((base + rng.normal(0, 2, (T, 7, 9, 2))
+                               + k * 30 * np.array([1.0, 0.0])
+                               ).astype(np.float32)) for k in range(3)]
+        for fusion in ("AVERAGE", "LINEAR"):
+            cfg = StitchConfig(canvas_bucket=16, fusion_mode=fusion)
+            out = composite_chain(imgs, meshes, cfg, chunk=2)
+            assert out.shape[0] == T
+            assert out.shape[2] > W + 30  # panorama wider than one view
+            assert np.isfinite(out.astype(np.float32)).all()
