@@ -13,13 +13,35 @@ import numpy as np
 
 
 def _texture(h: int, w: int, seed: int) -> np.ndarray:
-    """Smooth colorful texture with enough structure for alignment."""
-    rng = np.random.default_rng(seed)
-    small = rng.uniform(0, 255, (h // 16, w // 16, 3)).astype(np.float32)
+    """Scene-like texture: smooth background + geometric structure.
+
+    Rectangles/circles/lines give the cost volumes and photometric losses
+    real edges and corners to lock onto (pure noise is a worst case for
+    CNN alignment and makes demos unreadable).
+    """
     import cv2
+
+    rng = np.random.default_rng(seed)
+    small = rng.uniform(40, 215, (h // 16, w // 16, 3)).astype(np.float32)
     tex = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
-    # add mid-frequency detail so cost volumes lock on
-    small2 = rng.uniform(-40, 40, (h // 4, w // 4, 3)).astype(np.float32)
+    for _ in range(24):  # buildings / signs
+        x0, y0 = rng.integers(0, w - 20), rng.integers(0, h - 20)
+        x1 = x0 + int(rng.integers(12, max(13, w // 4)))
+        y1 = y0 + int(rng.integers(12, max(13, h // 4)))
+        color = rng.uniform(0, 255, 3).tolist()
+        cv2.rectangle(tex, (int(x0), int(y0)), (int(x1), int(y1)), color,
+                      thickness=-1 if rng.random() < 0.6 else 2)
+    for _ in range(14):  # round objects
+        c = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+        cv2.circle(tex, c, int(rng.integers(5, 25)),
+                   rng.uniform(0, 255, 3).tolist(), -1)
+    for _ in range(16):  # edges / wires
+        p0 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+        p1 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+        cv2.line(tex, p0, p1, rng.uniform(0, 255, 3).tolist(),
+                 int(rng.integers(1, 4)))
+    # mild high-frequency detail on top
+    small2 = rng.uniform(-20, 20, (h // 4, w // 4, 3)).astype(np.float32)
     tex = tex + cv2.resize(small2, (w, h), interpolation=cv2.INTER_CUBIC)
     return np.clip(tex, 0, 255)
 
