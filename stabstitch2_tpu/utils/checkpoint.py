@@ -103,7 +103,7 @@ def stitcher_from_checkpoint(ckpt_dir: Optional[str] = None,
     """Build a VideoStitcher from an orbax triad or reference .pth triad."""
     from stabstitch2_tpu.pipeline.stitcher import init_stitcher
 
-    stitcher = init_stitcher(**stitcher_kwargs)
+    # fail fast on missing checkpoints, before the (slow) model init
     if reference_pth_dir:
         missing = [n for n in ("spatial_warp.pth", "temporal_warp.pth",
                                "smooth_warp.pth")
@@ -112,10 +112,13 @@ def stitcher_from_checkpoint(ckpt_dir: Optional[str] = None,
             raise FileNotFoundError(
                 f"reference triad incomplete in {reference_pth_dir}: "
                 f"missing {missing}")
+    elif ckpt_dir and not os.path.exists(os.path.join(ckpt_dir, "triad")):
+        raise FileNotFoundError(f"no triad checkpoint under {ckpt_dir}")
+
+    stitcher = init_stitcher(**stitcher_kwargs)
+    if reference_pth_dir:
         sv, tv, mv = triad_from_reference(reference_pth_dir)
     elif ckpt_dir:
-        if not os.path.exists(os.path.join(ckpt_dir, "triad")):
-            raise FileNotFoundError(f"no triad checkpoint under {ckpt_dir}")
         sv, tv, mv = load_triad(ckpt_dir, stitcher.spatial_vars,
                                 stitcher.temporal_vars, stitcher.smooth_vars)
     else:

@@ -248,3 +248,44 @@ class TestCanvasPaddingInvariance:
         assert (c_small.out_h, c_small.out_w) == (c_big.out_h, c_big.out_w)
         assert c_big.pad_h > c_small.pad_h  # padding actually differs
         np.testing.assert_array_equal(f_small, f_big)
+
+
+class TestConfigCombos:
+    def test_fast_warp_linear_fusion_end_to_end(self):
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=7, height=mh, width=mw,
+                                    overlap=0.6, shake_px=2.0, seed=31)
+        stitcher = init_stitcher(
+            rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+            config=StitchConfig(canvas_bucket=32, warp_mode="FAST",
+                                fusion_mode="LINEAR"))
+        result = stitcher.stitch_arrays(v1, None, v2, None)  # uint8 fast path
+        assert result.frames.shape[0] == 7
+        assert np.isfinite(result.frames.astype(np.float32)).all()
+        assert result.frames.max() > 10
+
+
+class TestErrorPaths:
+    def test_too_short_video_raises(self):
+        v1, v2 = make_two_view_clip(num_frames=3, height=128, width=160)
+        stitcher = init_stitcher(rng_seed=0, model_h=128, model_w=160)
+        with pytest.raises(ValueError, match="too short"):
+            stitcher.stitch_arrays(v1, None, v2, None)
+
+    def test_missing_frames_dir_raises(self, tmp_path):
+        from stabstitch2_tpu.data.video_io import load_view
+        with pytest.raises(FileNotFoundError):
+            load_view(str(tmp_path), "video1")
+
+    def test_cli_stitch_empty_dataset(self, tmp_path):
+        from stabstitch2_tpu.cli import main
+        rc = main(["stitch", "--test_path", str(tmp_path),
+                   "--output_path", str(tmp_path / "out")])
+        assert rc == 1
+
+    def test_missing_checkpoint_dirs(self, tmp_path):
+        from stabstitch2_tpu.utils.checkpoint import stitcher_from_checkpoint
+        with pytest.raises(FileNotFoundError):
+            stitcher_from_checkpoint(ckpt_dir=str(tmp_path / "nope"))
+        with pytest.raises(FileNotFoundError):
+            stitcher_from_checkpoint(reference_pth_dir=str(tmp_path))
