@@ -50,7 +50,14 @@ def _build_stitcher(args):
 
 
 def cmd_stitch(args):
-    from stabstitch2_tpu.data.video_io import list_videos
+    import queue
+    import threading
+
+    from stabstitch2_tpu.data.video_io import (
+        list_videos,
+        load_video_pair,
+        write_video,
+    )
 
     stitcher = _build_stitcher(args)
     videos = list_videos(args.test_path)
@@ -60,12 +67,36 @@ def cmd_stitch(args):
     os.makedirs(args.output_path, exist_ok=True)
     from stabstitch2_tpu.utils.profiling import trace
 
-    for vd in videos:
+    # pipeline: a loader thread decodes video k+1 (JPEG decode releases the
+    # GIL in cv2/native code) while the accelerator stitches video k
+    q: queue.Queue = queue.Queue(maxsize=1)
+    model_size = (stitcher.model_h, stitcher.model_w)
+
+    def loader():
+        for vd in videos:
+            try:
+                q.put((vd, load_video_pair(vd, model_size=model_size), None))
+            except Exception as e:  # surface IO errors on the main thread
+                q.put((vd, None, e))
+        q.put(None)
+
+    threading.Thread(target=loader, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        vd, loaded, err = item
         name = os.path.basename(vd)
+        if err is not None:
+            print(f"{name}: load failed: {err}", file=sys.stderr)
+            continue
         out = os.path.join(args.output_path, name + ".mp4")
         t0 = time.time()
+        hi1, lo1, hi2, lo2 = loaded
         with trace(args.trace_dir):
-            result = stitcher.stitch_video_dir(vd, out)
+            result = stitcher.stitch_arrays(hi1, None, hi2, None)
+        write_video(out, result.frames)
+        result.fps["encode"] = len(result.frames) / max(time.time() - t0, 1e-9)
         print(f"{name}: {result.frames.shape[0]} frames -> {out} "
               f"canvas={result.canvas.out_w}x{result.canvas.out_h} "
               f"fps={ {k: round(v, 2) for k, v in result.fps.items()} } "

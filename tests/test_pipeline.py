@@ -289,3 +289,25 @@ class TestErrorPaths:
             stitcher_from_checkpoint(ckpt_dir=str(tmp_path / "nope"))
         with pytest.raises(FileNotFoundError):
             stitcher_from_checkpoint(reference_pth_dir=str(tmp_path))
+
+
+class TestDeterminismAndShapes:
+    def test_stitch_deterministic(self):
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=7, height=mh, width=mw,
+                                    seed=41)
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        r1 = st.stitch_arrays(v1, None, v2, None)
+        r2 = st.stitch_arrays(v1, None, v2, None)
+        np.testing.assert_array_equal(r1.frames, r2.frames)
+
+    def test_varied_video_lengths_one_stitcher(self):
+        mh, mw = 128, 160
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        for T, seed in ((7, 1), (10, 2)):
+            v1, v2 = make_two_view_clip(num_frames=T, height=mh, width=mw,
+                                        seed=seed)
+            r = st.stitch_arrays(v1, None, v2, None)
+            assert r.frames.shape[0] == T
