@@ -168,7 +168,12 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
                                  (canvas.pad_h, canvas.pad_w),
                                  config.warp_mode, config.fusion_mode,
                                  grid_span=(canvas.out_h, canvas.out_w))
-        pending.append(fused[:e - s, :canvas.out_h, :canvas.out_w])
-    # one bulk fetch: all chunks leave the device in a single transfer batch
+        cropped = fused[:e - s, :canvas.out_h, :canvas.out_w]
+        # request the d2h copy NOW so chunk k downloads while k+1 computes
+        try:
+            cropped.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append(cropped)
     outs = jax.device_get(pending)
     return np.concatenate(outs, axis=0), canvas
