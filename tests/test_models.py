@@ -123,6 +123,19 @@ class TestFullNetParity:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestVGGParity:
+    def test_relu3_2_features(self, goldens):
+        from stabstitch2_tpu.models.vgg import VGG19Features
+        g = goldens("vgg_parity")
+        sd = unpack_sd(g)
+        params, _ = ti.convert_state_dict(sd, ti.vgg19_mapping())
+        net = VGG19Features()
+        x = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 1)))
+        out = net.apply({"params": params}, x)
+        ref = np.transpose(g["y"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
 class TestShapes:
     @pytest.fixture(scope="class")
     def spatial(self):

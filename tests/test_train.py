@@ -88,6 +88,34 @@ class TestSmoothStep:
         assert _param_delta(state.params, new_state.params) > 0
 
 
+class TestSmoothLossParity:
+    """Numeric oracle for the six-term recipe vs the reference's own loss
+    block (SmoothWarp/Codes/train_ssd.py:144-203 run verbatim by
+    tests/golden_gen/make_smoothloss_golden.py)."""
+
+    def test_all_terms_match_reference(self, goldens):
+        from stabstitch2_tpu.train.smooth import smooth_loss_fn
+        from stabstitch2_tpu.utils import torch_import as ti
+
+        g = goldens("smoothloss_parity")
+        sd = {k[len("sd::"):]: g[k] for k in g.files if k.startswith("sd::")}
+        params, _ = ti.convert_state_dict(sd, ti.smooth_mapping())
+        cfg = SmoothTrainConfig(frame_num=7, train_sqe=2)
+        net = SmoothNet()
+        tb = lambda x: jnp.asarray(np.swapaxes(x, 0, 1))        # [B,T,...]
+        ib = lambda x: jnp.asarray(np.transpose(x, (1, 0, 3, 4, 2)))  # NHWC
+        batch = (tb(g["tmotion1"]), tb(g["tmotion2"]),
+                 tb(g["smotion1"]), tb(g["smotion2"]),
+                 ib(g["img1"]), ib(g["img2"]))
+        total, metrics = smooth_loss_fn(params, net, batch, cfg)
+        for name in ("data", "smoothness", "shape", "trajectory", "online",
+                     "align"):
+            np.testing.assert_allclose(
+                float(metrics[name]), float(g[name]), rtol=2e-3,
+                err_msg=name)
+        np.testing.assert_allclose(float(total), float(g["total"]), rtol=2e-3)
+
+
 class TestDataAug:
     def test_range_and_shape(self):
         img = jnp.ones((2, 8, 8, 3)) * 0.9
