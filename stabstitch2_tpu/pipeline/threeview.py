@@ -75,11 +75,6 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
 
     views = [scaled[0][0]]          # view 0 in pair-0's plane
     plane = scaled[0][1]            # shared view (1) in the current plane
-    # normalization frame for the point transforms: the reference uses the
-    # pre-reprojection canvas extents (threeview :365-401)
-    all_m = jnp.concatenate([jnp.stack([a, b]) for a, b in scaled])
-    oh = float(all_m[..., 1].max() - all_m[..., 1].min())
-    ow = float(all_m[..., 0].max() - all_m[..., 0].min())
 
     for j in range(1, len(scaled)):
         nxt_ref, nxt_tgt = scaled[j]
@@ -87,6 +82,16 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
         offset = jnp.mean(plane - nxt_ref, axis=(1, 2), keepdims=True)
         nxt_ref = nxt_ref + offset
         nxt_tgt = nxt_tgt + offset
+        # normalization frame for the point transforms: the POST-alignment
+        # canvas extents over every mesh known so far (threeview :353-395
+        # computes them after the offset is applied; golden-pinned by
+        # tests/goldens/threeview_parity.npz). The reference also re-bases
+        # to the canvas origin, but the TPS affine term makes the point
+        # transform translation-equivariant, so staying in original
+        # coordinates changes nothing downstream.
+        all_m = jnp.stack(views + [plane, nxt_ref, nxt_tgt])
+        oh = float(all_m[..., 1].max() - all_m[..., 1].min())
+        ow = float(all_m[..., 0].max() - all_m[..., 0].min())
         middle = (plane + nxt_ref) / 2.0
         # left side re-expressed through the shared view's change
         views = [_reproject(v, plane, middle, oh, ow) for v in views]
@@ -132,7 +137,11 @@ def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
                 acc = jax.vmap(linear_fusion)(acc, w[..., :3], acc_mask,
                                               w[..., 3])
             acc_mask = acc_mask + w[..., 3] - acc_mask * w[..., 3]
-        outs.append(np.asarray(acc[:, :canvas.out_h, :canvas.out_w]))
+        # clip+cast on device (average_fusion can overshoot when the two
+        # warped values nearly cancel — same formula as the reference,
+        # test_online_ssd.py:142); uint8 also makes the download 4x smaller
+        out = jnp.clip(acc[:, :canvas.out_h, :canvas.out_w], 0.0, 255.0)
+        outs.append(np.asarray(out.astype(jnp.uint8)))
     return np.concatenate(outs, 0)
 
 

@@ -128,6 +128,27 @@ class TestParallelTrain:
         assert mesh.shape["data"] * mesh.shape["model"] == 8
 
 
+class TestThreeViewParity:
+    def test_junction_algebra_matches_reference(self, goldens):
+        """chain_meshes vs the reference junction algebra run verbatim
+        (test_online_tra_threeview.py:348-427, fixture from
+        tests/golden_gen/make_threeview_golden.py). The reference re-bases
+        to the canvas origin; we stay in original coordinates, so compare
+        after subtracting its (wmin, hmin)."""
+        from stabstitch2_tpu.pipeline.threeview import chain_meshes
+
+        g = goldens("threeview_parity")
+        pair_meshes = [(jnp.asarray(g["w12_m1"]), jnp.asarray(g["w12_m2"])),
+                       (jnp.asarray(g["w23_m1"]), jnp.asarray(g["w23_m2"]))]
+        views = chain_meshes(pair_meshes, int(g["img_h"]), int(g["img_w"]),
+                             int(g["model_h"]), int(g["model_w"]))
+        assert len(views) == 3
+        sub = np.asarray([g["wmin"], g["hmin"]], np.float32)
+        for got, name in zip(views, ("view0", "view1", "view2")):
+            np.testing.assert_allclose(np.asarray(got) - sub, g[name],
+                                       atol=2e-2, rtol=1e-5, err_msg=name)
+
+
 class TestChainFusionModes:
     def test_composite_chain_linear_and_average(self):
         from stabstitch2_tpu.config import StitchConfig
