@@ -35,15 +35,22 @@ def _add_stitcher_args(p):
     p.add_argument("--chunk", type=int, default=8)
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler device trace here")
+    p.add_argument("--download_format", choices=["bgr", "yuv420"],
+                   default=None,
+                   help="composite transfer format; stitch defaults to "
+                        "yuv420 (encoder-native, half the d2h bytes), "
+                        "other commands to bgr")
 
 
-def _build_stitcher(args):
+def _build_stitcher(args, download_default="bgr"):
     from stabstitch2_tpu.config import StitchConfig
     from stabstitch2_tpu.utils.checkpoint import stitcher_from_checkpoint
 
     fusion = args.fusion_mode or ("LINEAR" if args.preset == "tra"
                                   else "AVERAGE")
-    cfg = StitchConfig(warp_mode=args.warp_mode, fusion_mode=fusion)
+    cfg = StitchConfig(warp_mode=args.warp_mode, fusion_mode=fusion,
+                       download_format=args.download_format
+                       or download_default)
     return stitcher_from_checkpoint(ckpt_dir=args.ckpt_dir,
                                     reference_pth_dir=args.reference_pth_dir,
                                     config=cfg, chunk=args.chunk)
@@ -59,7 +66,7 @@ def cmd_stitch(args):
         write_video,
     )
 
-    stitcher = _build_stitcher(args)
+    stitcher = _build_stitcher(args, download_default="yuv420")
     videos = list_videos(args.test_path)
     if not videos:
         print(f"no videos under {args.test_path}", file=sys.stderr)
@@ -72,10 +79,17 @@ def cmd_stitch(args):
     q: queue.Queue = queue.Queue(maxsize=1)
     model_size = (stitcher.model_h, stitcher.model_w)
 
+    from stabstitch2_tpu.data.video_io import bgr_to_i420
+
     def loader():
         for vd in videos:
             try:
-                q.put((vd, load_video_pair(vd, model_size=model_size), None))
+                hi1, _, hi2, _ = load_video_pair(vd, model_size=model_size)
+                try:  # 1.5-byte/px uploads (falls back on odd dims)
+                    hi1, hi2 = bgr_to_i420(hi1), bgr_to_i420(hi2)
+                except ValueError:
+                    pass
+                q.put((vd, (hi1, None, hi2, None), None))
             except Exception as e:  # surface IO errors on the main thread
                 q.put((vd, None, e))
         q.put(None)
@@ -94,8 +108,8 @@ def cmd_stitch(args):
         t0 = time.time()
         hi1, lo1, hi2, lo2 = loaded
         with trace(args.trace_dir):
-            result = stitcher.stitch_arrays(hi1, None, hi2, None)
-        write_video(out, result.frames)
+            result = stitcher.stitch_arrays(hi1, lo1, hi2, lo2)
+        write_video(out, result.frames, frame_format=result.frame_format)
         result.fps["encode"] = len(result.frames) / max(time.time() - t0, 1e-9)
         print(f"{name}: {result.frames.shape[0]} frames -> {out} "
               f"canvas={result.canvas.out_w}x{result.canvas.out_h} "

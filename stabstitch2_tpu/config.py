@@ -63,10 +63,16 @@ class StitchConfig:
     fusion_mode: str = "AVERAGE"
     # Pad the dynamic output canvas up to multiples of this bucket so the
     # composite kernel compiles once per bucket instead of once per video.
-    canvas_bucket: int = 128
+    # 32 keeps the padded-canvas compute waste under ~10% (the warp cost
+    # scales with padded pixels); raise it if per-video recompiles hurt.
+    canvas_bucket: int = 32
     # Max canvas size (pixels) the compositor will allocate.
     max_canvas_h: int = 1024
     max_canvas_w: int = 1280
+    # 'bgr': frames leave the device as uint8 BGR [T,H,W,3].
+    # 'yuv420': encoder-native I420 planes [T, H*3//2, W] — half the
+    # device->host bytes, exactly what the mp4 writer converts to anyway.
+    download_format: str = "bgr"
 
 
 @dataclasses.dataclass(frozen=True)

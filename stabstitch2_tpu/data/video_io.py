@@ -70,14 +70,42 @@ def load_video_pair(video_dir: str,
     return hi1[:T], lo1[:T], hi2[:T], lo2[:T]
 
 
-def write_video(path: str, frames: np.ndarray, fps: int = 30) -> None:
-    """Encode float/uint8 BGR frames [T,H,W,3] as mp4 (reference: fourcc mp4v)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def bgr_to_i420(frames: np.ndarray) -> np.ndarray:
+    """uint8 BGR [T,H,W,3] (H, W even) -> packed I420 [T, H*3//2, W].
+
+    Host-side prep for 1.5-byte/px uploads (cv2 SIMD, ~0.5 ms/frame); the
+    device unpacks with ops.yuv.i420_to_bgr. Falls back to the caller for
+    odd dimensions (I420 requires even H and W).
+    """
     T, H, W, _ = frames.shape
+    if H % 2 or W % 2:
+        raise ValueError(f"I420 needs even dims, got {H}x{W}")
+    return np.stack([cv2.cvtColor(frames[t], cv2.COLOR_BGR2YUV_I420)
+                     for t in range(T)])
+
+
+def write_video(path: str, frames: np.ndarray, fps: int = 30,
+                frame_format: str = "bgr") -> None:
+    """Encode frames as mp4 (reference: fourcc mp4v).
+
+    frame_format 'bgr': float/uint8 BGR [T,H,W,3]. 'i420': packed YUV 4:2:0
+    [T, H*3//2, W] uint8 (the compositor's transfer-thin output); each frame
+    is expanded to BGR with cv2 right before the encoder, which converts
+    back to 4:2:0 internally — no extra quality loss.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if frame_format == "i420":
+        T, H15, W = frames.shape
+        H = H15 * 2 // 3
+    else:
+        T, H, W, _ = frames.shape
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writer = cv2.VideoWriter(path, fourcc, fps, (W, H))
     try:
         for t in range(T):
-            writer.write(np.clip(frames[t], 0, 255).astype(np.uint8))
+            if frame_format == "i420":
+                writer.write(cv2.cvtColor(frames[t], cv2.COLOR_YUV2BGR_I420))
+            else:
+                writer.write(np.clip(frames[t], 0, 255).astype(np.uint8))
     finally:
         writer.release()

@@ -1,0 +1,71 @@
+"""BGR <-> YUV 4:2:0 (I420) conversion for transfer-thin downloads.
+
+The composite download is the measured bottleneck on a tunneled chip
+(~11-18 MB/s device->host while uploads run ~GB/s; see BENCHMARKS.md), and
+the mp4 encoder converts to 4:2:0 anyway — so the compositor can emit I420
+planes and halve the dominant transfer with zero quality loss relative to
+what lands in the video file.
+
+Conventions match OpenCV's ``COLOR_BGR2YUV_I420`` exactly (verified in
+tests/test_geometry.py::TestYUV): limited-range BT.601 coefficients and
+top-left 2x2 chroma decimation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def bgr_to_yuv420(frames: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """float BGR [B, H, W, 3] (0..255, H and W even) -> (Y, U, V) uint8.
+
+    Y: [B, H, W]; U/V: [B, H/2, W/2]. Limited-range BT.601 with top-left
+    chroma decimation (cv2 COLOR_BGR2YUV_I420 semantics).
+    """
+    b = frames[..., 0]
+    g = frames[..., 1]
+    r = frames[..., 2]
+    y = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * b
+    bd, gd, rd = b[:, ::2, ::2], g[:, ::2, ::2], r[:, ::2, ::2]
+    u = 128.0 - 0.148223 * rd - 0.290993 * gd + 0.439216 * bd
+    v = 128.0 + 0.439216 * rd - 0.367788 * gd - 0.071427 * bd
+
+    def q(x):
+        return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
+
+    return q(y), q(u), q(v)
+
+
+def pack_i420(y, u, v) -> jnp.ndarray:
+    """(Y [B,H,W], U, V [B,H/2,W/2]) -> packed I420 [B, H*3//2, W]."""
+    B, H, W = y.shape
+    flat = jnp.concatenate(
+        [y.reshape(B, -1), u.reshape(B, -1), v.reshape(B, -1)], axis=1)
+    return flat.reshape(B, H * 3 // 2, W)
+
+
+def i420_to_bgr(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed I420 [B, H*3//2, W] (uint8/float) -> float BGR [B, H, W, 3].
+
+    Inverse of the cv2 conventions above: limited-range BT.601, 2x nearest
+    chroma upsampling. Used to unpack 1.5-byte/px uploads on device (the
+    host->device link shares the relay's post-download throttled state, so
+    upload bytes matter too; source frames are JPEG/mp4 4:2:0 anyway).
+    """
+    B, H15, W = packed.shape
+    H = H15 * 2 // 3
+    x = packed.astype(jnp.float32)
+    y = x[:, :H, :]
+    u = x[:, H:H + H // 4, :].reshape(B, H // 2, W // 2)
+    v = x[:, H + H // 4:, :].reshape(B, H // 2, W // 2)
+    up = lambda c: jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
+    u = up(u) - 128.0
+    v = up(v) - 128.0
+    c = (y - 16.0) * 1.164383
+    b = c + 2.017232 * u
+    g = c - 0.391762 * u - 0.812968 * v
+    r = c + 1.596027 * v
+    return jnp.clip(jnp.stack([b, g, r], -1), 0.0, 255.0)

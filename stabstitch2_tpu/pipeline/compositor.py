@@ -70,17 +70,19 @@ def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
-                                             "fusion_mode", "grid_span"))
+                                             "fusion_mode", "grid_span",
+                                             "out_format"))
 def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                      warp_mode: str, fusion_mode: str,
-                     grid_span=None):
+                     grid_span=None, out_format: str = "bgr"):
     """Warp+fuse a chunk of frames.
 
     img1/img2: [B, H, W, 3] uint8 (or float 0..255); mesh1/mesh2:
     [B, GH+1, GW+1, 2] hi-res pixel meshes; offset: [2] (x_min, y_min).
-    Returns [B, oh, ow, 3] uint8. uint8 at both jit boundaries keeps the
-    host<->device traffic 4x smaller than f32 — the compositor is
-    transfer-bound on a tunneled chip.
+    Returns [B, oh, ow, 3] uint8 for out_format='bgr', or uint8 I420 planes
+    (Y [B,oh,ow], U, V [B,oh/2,ow/2]) for 'yuv420' — the device->host link
+    is the bottleneck, so the output leaves the chip as thin as possible
+    (uint8, and 1.5 bytes/px in the encoder-native 4:2:0 layout).
     """
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
@@ -117,7 +119,12 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     else:
         fused = jax.vmap(linear_fusion)(w1[..., :3], w2[..., :3],
                                         w1[..., 3], w2[..., 3])
-    return jnp.clip(fused, 0.0, 255.0).astype(jnp.uint8)
+    fused = jnp.clip(fused, 0.0, 255.0)
+    if out_format == "yuv420":
+        from stabstitch2_tpu.ops.yuv import bgr_to_yuv420
+
+        return bgr_to_yuv420(fused)
+    return fused.astype(jnp.uint8)
 
 
 def composite_video(img1: np.ndarray, img2: np.ndarray,
@@ -125,6 +132,7 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
                     config: Optional[StitchConfig] = None,
                     chunk: int = 8,
                     model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
+                    timer=None,
                     ) -> Tuple[np.ndarray, Canvas]:
     """Composite a whole video.
 
@@ -135,10 +143,14 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
     overlaps uploads, compute, and downloads.
     """
     config = config or StitchConfig()
+    out_format = getattr(config, "download_format", "bgr")
     T, H, W, _ = img1.shape
     m1 = scale_meshes(smooth_mesh1, H, W, *model_size)
     m2 = scale_meshes(smooth_mesh2, H, W, *model_size)
     canvas = compute_canvas(m1, m2, config.canvas_bucket)
+    # even output dims for 4:2:0 (mp4 encoders require them anyway)
+    oh = canvas.out_h if out_format == "bgr" else canvas.out_h // 2 * 2
+    ow = canvas.out_w if out_format == "bgr" else canvas.out_w // 2 * 2
     if canvas.pad_h > config.max_canvas_h or canvas.pad_w > config.max_canvas_w:
         raise ValueError(
             f"canvas {canvas.pad_h}x{canvas.pad_w} exceeds configured max "
@@ -167,13 +179,36 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
         fused = _composite_chunk(i1, i2, mm1, mm2, offset,
                                  (canvas.pad_h, canvas.pad_w),
                                  config.warp_mode, config.fusion_mode,
-                                 grid_span=(canvas.out_h, canvas.out_w))
-        cropped = fused[:e - s, :canvas.out_h, :canvas.out_w]
-        # request the d2h copy NOW so chunk k downloads while k+1 computes
-        try:
-            cropped.copy_to_host_async()
-        except AttributeError:
-            pass
+                                 grid_span=(canvas.out_h, canvas.out_w),
+                                 out_format=out_format)
+        if out_format == "yuv420":
+            yp, up, vp = fused
+            cropped = (yp[:e - s, :oh, :ow],
+                       up[:e - s, :oh // 2, :ow // 2],
+                       vp[:e - s, :oh // 2, :ow // 2])
+        else:
+            cropped = (fused[:e - s, :oh, :ow],)
+        # request the d2h copies NOW so chunk k downloads while k+1 computes
+        for c in cropped:
+            try:
+                c.copy_to_host_async()
+            except AttributeError:
+                pass
         pending.append(cropped)
+    if timer is not None:
+        # warp_fuse = until the last chunk's compute finishes; download =
+        # the residual fetch time (d2h copies were already issued async,
+        # so the split is attribution, not strict serialization)
+        timer.mark("warp_fuse", sync=pending[-1])
     outs = jax.device_get(pending)
-    return np.concatenate(outs, axis=0), canvas
+    if timer is not None:
+        timer.mark("download")
+    if out_format == "yuv420":
+        # assemble packed I420 [T, oh*3//2, ow] on host (planar concat)
+        frames = np.concatenate(
+            [np.concatenate([y.reshape(y.shape[0], -1),
+                             u.reshape(u.shape[0], -1),
+                             v.reshape(v.shape[0], -1)], axis=1)
+             for y, u, v in outs], axis=0).reshape(-1, oh * 3 // 2, ow)
+        return frames, canvas
+    return np.concatenate([o[0] for o in outs], axis=0), canvas

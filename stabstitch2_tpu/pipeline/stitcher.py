@@ -38,6 +38,10 @@ class StitchResult:
     smooth_mesh2: jnp.ndarray
     ori_mesh1: jnp.ndarray
     ori_mesh2: jnp.ndarray
+    ms: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # per-phase wall-clock (upload / spatial / temporal / smooth /
+    # warp_fuse / download / encode), reference-style attribution
+    frame_format: str = "bgr"     # 'bgr' [T,H,W,3] or 'i420' [T,H*3//2,W]
 
 
 @dataclasses.dataclass
@@ -73,20 +77,31 @@ class VideoStitcher:
                 x = jax.image.resize(x, (x.shape[0], mh, mw, 3), "bilinear")
             return x / 127.5 - 1.0
 
+        @jax.jit
+        def _unpack_i420(packed_u8):
+            # 1.5-byte/px uploads: packed I420 -> uint8 BGR on device
+            from stabstitch2_tpu.ops.yuv import i420_to_bgr
+
+            return jnp.round(i420_to_bgr(packed_u8)).astype(jnp.uint8)
+
         self._preprocess = _preprocess
+        self._unpack_i420 = _unpack_i420
 
     def stitch_arrays(self, hi1: np.ndarray,
                       lo1: Optional[np.ndarray],
                       hi2: np.ndarray,
                       lo2: Optional[np.ndarray]) -> StitchResult:
-        """hi*: [T,H,W,3] uint8 0..255; lo*: [T, mh, mw, 3] in [-1, 1] or
-        None to resize+normalize on device (the fast path — frames cross
-        the host<->device link once, as uint8)."""
+        """hi*: [T,H,W,3] uint8 BGR, or packed I420 [T, H*3//2, W] uint8
+        (1.5 bytes/px — the thinnest upload; see data.video_io.bgr_to_i420);
+        lo*: [T, mh, mw, 3] in [-1, 1] or None to resize+normalize on
+        device (the fast path — frames cross the host<->device link once,
+        as uint8)."""
+        from stabstitch2_tpu.utils.profiling import PhaseTimer
+
         T = hi1.shape[0]
         if T < WINDOW:
             raise ValueError(f"video too short: {T} < window {WINDOW}")
-        fps: Dict[str, float] = {}
-        t0 = time.time()
+        timer = PhaseTimer(T)
 
         mh, mw = self.model_h, self.model_w
         if (lo1 is None or lo2 is None) and self.upload_mode == "stream":
@@ -109,30 +124,38 @@ class VideoStitcher:
 
             chunks1 = upload_chunks(h1)
             chunks2 = upload_chunks(h2)
+            timer.mark("upload", sync=chunks1[-1])
             lo1_chunks = [self._preprocess(x, mh, mw) for x in chunks1]
             lo2_chunks = [self._preprocess(x, mh, mw) for x in chunks2]
             smotion1, smotion2 = self._motion.spatial_chunks(
                 lo1_chunks, lo2_chunks, T)
+            timer.mark("spatial", sync=(smotion1, smotion2))
             feats1 = self._motion.features_chunks(lo1_chunks, T)
             feats2 = self._motion.features_chunks(lo2_chunks, T)
             tmotion1 = self._motion.temporal_from_features(feats1)
             tmotion2 = self._motion.temporal_from_features(feats2)
+            timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
             hi1_dev = jnp.concatenate(chunks1, 0)[:T]
             hi2_dev = jnp.concatenate(chunks2, 0)[:T]
         else:
             if lo1 is None or lo2 is None:
                 hi1_dev = jnp.asarray(np.ascontiguousarray(hi1, np.uint8))
                 hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, np.uint8))
+                timer.mark("upload", sync=(hi1_dev, hi2_dev))
+                if hi1.ndim == 3:   # packed I420 [T, H*3//2, W]
+                    hi1_dev = self._unpack_i420(hi1_dev)
+                    hi2_dev = self._unpack_i420(hi2_dev)
                 lo1j = self._preprocess(hi1_dev, mh, mw)
                 lo2j = self._preprocess(hi2_dev, mh, mw)
             else:
                 hi1_dev, hi2_dev = hi1, hi2
                 lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
+                timer.mark("upload", sync=(lo1j, lo2j))
             smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
+            timer.mark("spatial", sync=(smotion1, smotion2))
             tmotion1 = self._motion.temporal(lo1j)
             tmotion2 = self._motion.temporal(lo2j)
-        jnp.stack([tmotion1[0], tmotion2[0]]).block_until_ready()
-        fps["spatial_temporal"] = T / (time.time() - t0)
+            timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
 
         # phase 3: transport
         ts1, ts2 = transport_both_views(tmotion1, smotion1, tmotion2,
@@ -144,17 +167,20 @@ class VideoStitcher:
         smooth = smooth_all_windows(self.smooth_net, self.smooth_vars,
                                     smesh1, smesh2, ts1, ts2,
                                     window=self.config.window)
-        smooth["smooth_mesh1"].block_until_ready()
-        fps["smooth"] = T / (time.time() - t0)
+        timer.mark("smooth", sync=smooth["smooth_mesh1"])
 
-        # phase 5: composite at native resolution
+        # phase 5: composite at native resolution (timer gets warp_fuse /
+        # download marks inside)
         frames, canvas = composite_video(hi1_dev, hi2_dev, smooth["smooth_mesh1"],
                                          smooth["smooth_mesh2"],
                                          config=self.config, chunk=self.chunk,
-                                         model_size=(mh, mw))
-        fps["composite"] = T / (time.time() - t0)
+                                         model_size=(mh, mw), timer=timer)
+        timer.fps["composite"] = T / (time.time() - timer.t0)
 
-        return StitchResult(frames=frames, canvas=canvas, fps=fps,
+        fmt = ("i420" if getattr(self.config, "download_format", "bgr")
+               == "yuv420" else "bgr")
+        return StitchResult(frames=frames, canvas=canvas, fps=timer.fps,
+                            ms=timer.ms, frame_format=fmt,
                             smooth_mesh1=smooth["smooth_mesh1"],
                             smooth_mesh2=smooth["smooth_mesh2"],
                             ori_mesh1=smooth["ori_mesh1"],
@@ -170,7 +196,8 @@ class VideoStitcher:
         result = self.stitch_arrays(hi1, lo1, hi2, lo2)
         if output_path:
             t0 = time.time()
-            write_video(output_path, result.frames)
+            write_video(output_path, result.frames,
+                        frame_format=result.frame_format)
             result.fps["encode"] = len(result.frames) / max(
                 time.time() - t0, 1e-9)
         return result
@@ -178,17 +205,24 @@ class VideoStitcher:
 
 def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
                   model_h: int = MODEL_H, model_w: int = MODEL_W,
-                  chunk: int = 8, compute_dtype=None) -> VideoStitcher:
+                  chunk: int = 8, compute_dtype=None,
+                  smooth_dtype=None) -> VideoStitcher:
     """Fresh stitcher with randomly initialized models (for tests/benches;
     real use loads converted or trained checkpoints via utils.checkpoint).
-    ``compute_dtype=jnp.bfloat16`` runs the conv backbones in bf16 (params
-    stay f32); geometry stays f32 regardless."""
+
+    ``compute_dtype`` runs the spatial/temporal conv backbones in that
+    dtype (params stay f32); the INFERENCE DEFAULT IS bfloat16 — validated
+    against reference-weight goldens at <0.01 px max motion delta
+    (tests/test_models.py::TestBF16Backbone). Pass ``jnp.float32`` for
+    bit-exact parity runs. The smooth net stays f32 by default: its inputs
+    are absolute mesh coordinates (~480), which bf16's 8 mantissa bits
+    would quantize to ~2 px. Geometry ops are f32 regardless."""
     import jax
 
-    dt = compute_dtype or jnp.float32
+    dt = compute_dtype or jnp.bfloat16
     spatial = SpatialNet(dtype=dt)
     temporal = TemporalNet(dtype=dt)
-    smooth = SmoothNet(dtype=dt)
+    smooth = SmoothNet(dtype=smooth_dtype or jnp.float32)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
     img = jnp.zeros((1, model_h, model_w, 3))
     sv = spatial.init(k1, img, img, False)

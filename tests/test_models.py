@@ -123,6 +123,37 @@ class TestFullNetParity:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestBF16Backbone:
+    """bf16 conv backbones (the inference default, init_stitcher) must stay
+    within a small pixel budget of f32 under CONVERTED reference-layout
+    weights — measured 0.0095/0.0024 px max on the parity fixtures."""
+
+    def test_spatial_bf16_delta(self, goldens):
+        from stabstitch2_tpu.models.spatial import spatial_motions
+        g = goldens("spatialnet_parity")
+        sd = unpack_sd(g)
+        params, stats = ti.convert_state_dict(sd, ti.spatial_mapping())
+        img1 = jnp.asarray(np.transpose(g["img1"], (0, 2, 3, 1)))
+        img2 = jnp.asarray(np.transpose(g["img2"], (0, 2, 3, 1)))
+        net = SpatialNet(dtype=jnp.bfloat16)
+        off1, mref, mtgt = net.apply({"params": params, "batch_stats": stats},
+                                     img1, img2, False)
+        out = spatial_motions(off1, mref, mtgt, 360, 480)
+        assert np.abs(np.asarray(out["motion1"]) - g["motion1"]).max() < 0.1
+        assert np.abs(np.asarray(out["motion2"]) - g["motion2"]).max() < 0.1
+
+    def test_temporal_bf16_delta(self, goldens):
+        from stabstitch2_tpu.models.temporal import clip_motions
+        g = goldens("temporalnet_parity")
+        sd = unpack_sd(g)
+        params, stats = ti.convert_state_dict(sd, ti.temporal_mapping())
+        frames = jnp.asarray(np.transpose(g["frames"][:, 0], (0, 2, 3, 1)))
+        net = TemporalNet(dtype=jnp.bfloat16)
+        m = clip_motions(net, {"params": params, "batch_stats": stats},
+                         frames)
+        assert np.abs(np.asarray(m) - g["motions"][:, 0]).max() < 0.1
+
+
 class TestVGGParity:
     def test_relu3_2_features(self, goldens):
         from stabstitch2_tpu.models.vgg import VGG19Features

@@ -133,6 +133,98 @@ class TestCompositor:
         assert canvas.pad_w % 64 == 0 and canvas.pad_w >= canvas.out_w
 
 
+class TestYUV:
+    def test_bgr_to_yuv420_matches_cv2(self):
+        import cv2
+
+        from stabstitch2_tpu.ops.yuv import bgr_to_yuv420, pack_i420
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (2, 32, 40, 3)).astype(np.uint8)
+        y, u, v = bgr_to_yuv420(jnp.asarray(img, jnp.float32))
+        packed = np.asarray(pack_i420(y, u, v))
+        for t in range(2):
+            ref = cv2.cvtColor(img[t], cv2.COLOR_BGR2YUV_I420)
+            np.testing.assert_allclose(packed[t].astype(int),
+                                       ref.astype(int), atol=1)
+
+    def test_composite_yuv420_roundtrips_to_bgr_path(self):
+        import cv2
+
+        rng = np.random.default_rng(0)
+        T, H, W = 4, 64, 80
+        i1 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        i2 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        xs, ys = np.linspace(0, W, 9), np.linspace(0, H, 7)
+        base = np.stack(np.meshgrid(xs, ys), -1)[None]
+        m1 = jnp.asarray((base + rng.normal(0, 1.5, (T, 7, 9, 2))
+                          ).astype(np.float32))
+        m2 = jnp.asarray((base + rng.normal(0, 1.5, (T, 7, 9, 2)) + 20
+                          ).astype(np.float32))
+        cfg_bgr = StitchConfig(canvas_bucket=16)
+        cfg_yuv = StitchConfig(canvas_bucket=16, download_format="yuv420")
+        bgr, canvas = composite_video(i1, i2, m1, m2, cfg_bgr, chunk=2,
+                                      model_size=(H, W))
+        i420, canvas2 = composite_video(i1, i2, m1, m2, cfg_yuv, chunk=2,
+                                        model_size=(H, W))
+        oh, ow = canvas.out_h // 2 * 2, canvas.out_w // 2 * 2
+        assert i420.shape == (T, oh * 3 // 2, ow)
+        for t in range(T):
+            ref = cv2.cvtColor(bgr[t, :oh, :ow], cv2.COLOR_BGR2YUV_I420)
+            # device converts from f32 pre-cast values, cv2 from uint8:
+            # off-by-one rounding only
+            np.testing.assert_allclose(i420[t].astype(int), ref.astype(int),
+                                       atol=2)
+
+    def test_i420_to_bgr_matches_cv2(self):
+        import cv2
+
+        from stabstitch2_tpu.ops.yuv import i420_to_bgr
+
+        rng = np.random.default_rng(7)
+        img = cv2.resize(rng.integers(0, 255, (16, 20, 3)).astype(np.uint8),
+                         (160, 128), interpolation=cv2.INTER_CUBIC)
+        i420 = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
+        mine = np.asarray(i420_to_bgr(jnp.asarray(i420[None])))[0]
+        ref = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420).astype(np.float32)
+        np.testing.assert_allclose(mine, ref, atol=1)
+
+    def test_stitch_accepts_packed_i420_uploads(self):
+        from stabstitch2_tpu.data.video_io import bgr_to_i420
+
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=8, height=mh, width=mw,
+                                    overlap=0.6, shake_px=2.0, seed=5)
+        stitcher = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                                 config=StitchConfig(canvas_bucket=32))
+        r_bgr = stitcher.stitch_arrays(v1, None, v2, None)
+        r_i420 = stitcher.stitch_arrays(bgr_to_i420(v1), None,
+                                        bgr_to_i420(v2), None)
+        # same geometry up to the 4:2:0 chroma roundtrip of the inputs
+        # (the synthetic texture is chroma-saturated noise — the worst case
+        # for 2x2 chroma decimation; real JPEG frames are 4:2:0 already)
+        assert r_i420.canvas.out_w == pytest.approx(r_bgr.canvas.out_w, abs=4)
+        dm = np.abs(np.asarray(r_i420.smooth_mesh1)
+                    - np.asarray(r_bgr.smooth_mesh1))
+        assert dm.max() < 3.0  # px, model res
+        d = np.abs(r_i420.frames.astype(np.float32)
+                   - r_bgr.frames.astype(np.float32))
+        assert d.mean() < 8.0
+
+    def test_write_video_i420(self, tmp_path):
+        import cv2
+
+        from stabstitch2_tpu.data.video_io import write_video
+
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (5, 96, 64), dtype=np.uint8)  # 64x64
+        out = str(tmp_path / "yuv.mp4")
+        write_video(out, frames, frame_format="i420")
+        cap = cv2.VideoCapture(out)
+        ok, frame = cap.read()
+        assert ok and frame.shape == (64, 64, 3)
+
+
 @pytest.mark.integration
 class TestEndToEnd:
     def test_stitch_synthetic_clip(self, tmp_path):
@@ -149,7 +241,8 @@ class TestEndToEnd:
         assert result.frames.shape[1] >= mh and result.frames.shape[2] >= mw
         assert np.isfinite(result.frames).all()
         assert result.frames.max() > 10.0  # non-trivial content
-        assert set(result.fps) >= {"spatial_temporal", "smooth", "composite"}
+        assert set(result.fps) >= {"upload", "spatial", "temporal", "smooth",
+                                   "warp_fuse", "download", "composite"}
         # canvas is global: every frame same size
         assert result.canvas.out_h == result.frames.shape[1]
 
