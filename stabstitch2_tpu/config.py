@@ -73,6 +73,13 @@ class StitchConfig:
     # 'yuv420': encoder-native I420 planes [T, H*3//2, W] — half the
     # device->host bytes, exactly what the mp4 writer converts to anyway.
     download_format: str = "bgr"
+    # Composite TPS coordinate field: evaluate every s-th pixel and
+    # bilinearly upsample (ops/tps.py:tps_sample_coords). The per-pixel
+    # r^2*log(r^2) evaluation is the dominant on-chip composite cost; at
+    # stride 4 the coordinate deviation is <=0.15 px max on realistic
+    # smooth meshes (test_geometry.py::TestCoordStride) — far below the
+    # bilinear resampling blur. 1 = exact (reference-identical) evaluation.
+    coord_stride: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

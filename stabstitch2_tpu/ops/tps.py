@@ -119,10 +119,25 @@ def _grid_1d(n: int, span_n: int, dtype) -> jnp.ndarray:
     return -1.0 + step * jnp.arange(n, dtype=dtype)
 
 
+def _lerp_upsample_1d(coarse: jnp.ndarray, n: int, stride: int,
+                      axis: int) -> jnp.ndarray:
+    """Linear interp from samples at positions 0, s, 2s, ... to 0..n-1."""
+    j = jnp.arange(n)
+    i0 = j // stride
+    frac = (j % stride).astype(coarse.dtype) / stride
+    a = jnp.take(coarse, i0, axis=axis)
+    b = jnp.take(coarse, i0 + 1, axis=axis)
+    shape = [1] * coarse.ndim
+    shape[axis] = n
+    frac = frac.reshape(shape)
+    return a * (1.0 - frac) + b * frac
+
+
 def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
                       out_size: Tuple[int, int],
                       use_pallas: Optional[bool] = None,
-                      grid_span: Optional[Tuple[int, int]] = None
+                      grid_span: Optional[Tuple[int, int]] = None,
+                      coord_stride: int = 1
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the spline over a normalized output grid.
 
@@ -132,15 +147,43 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
     Pallas kernel (ops/pallas_warp.py) skips the [P+3, H*W] HBM
     intermediate; the jnp path below is the reference semantics, the
     CPU/test path, and the differentiable path.
+
+    ``coord_stride`` > 1 evaluates the spline every s-th pixel and
+    bilinearly interpolates the coordinate field to full resolution. The
+    field interpolates a coarse control lattice (~60 px spacing), so the
+    approximation is measured at <2e-3 px for stride 8 at 360x480
+    (tests/test_geometry.py::TestCoordStride) while cutting the per-pixel
+    r^2*log(r^2) transcendental count by s^2 — the dominant cost of the
+    full-canvas composite warp on TPU.
     """
     if use_pallas is None:
         use_pallas = False
+    out_h, out_w = out_size
+    span_h, span_w = grid_span or out_size
+    if coord_stride > 1:
+        s = coord_stride
+        B = source.shape[0]
+        hc = (out_h - 1) // s + 2
+        wc = (out_w - 1) // s + 2
+        step_x = 2.0 / (span_w - 1) if span_w > 1 else 0.0
+        step_y = 2.0 / (span_h - 1) if span_h > 1 else 0.0
+        x1 = -1.0 + (step_x * s) * jnp.arange(wc, dtype=T.dtype)
+        y1 = -1.0 + (step_y * s) * jnp.arange(hc, dtype=T.dtype)
+        gx = jnp.broadcast_to(jnp.tile(x1[None, :], (hc, 1)).reshape(-1)[None],
+                              (B, hc * wc))
+        gy = jnp.broadcast_to(jnp.tile(y1[:, None], (1, wc)).reshape(-1)[None],
+                              (B, hc * wc))
+        rows = _eval_grid_rows(gx, gy, source)
+        T_c = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)
+        field = T_c.reshape(B, 2, hc, wc)
+        field = _lerp_upsample_1d(field, out_h, s, axis=2)
+        field = _lerp_upsample_1d(field, out_w, s, axis=3)
+        flat = field.reshape(B, 2, out_h * out_w)
+        return flat[:, 0], flat[:, 1]
     if use_pallas:
         from stabstitch2_tpu.ops.pallas_warp import tps_coords_fused
 
         return tps_coords_fused(T, source, out_size, grid_span=grid_span)
-    out_h, out_w = out_size
-    span_h, span_w = grid_span or out_size
     x1 = _grid_1d(out_w, span_w, T.dtype)
     y1 = _grid_1d(out_h, span_h, T.dtype)
     gx1 = jnp.tile(x1[None, :], (out_h, 1)).reshape(-1)
@@ -156,7 +199,8 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
              out_size: Tuple[int, int], mode: str = "NORMAL",
              T: Optional[jnp.ndarray] = None,
              use_pallas: Optional[bool] = None,
-             grid_span: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+             grid_span: Optional[Tuple[int, int]] = None,
+             coord_stride: int = 1) -> jnp.ndarray:
     """TPS image warp. im: [B,H,W,C] NHWC; source/target: [B,P,2] normalized.
 
     ``source`` is the deformed mesh, ``target`` the rigid lattice — each
@@ -173,7 +217,8 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
     if T is None:
         T = tps_params(source, target)
     x_s, y_s = tps_sample_coords(T, source, out_size, use_pallas=use_pallas,
-                                 grid_span=grid_span)
+                                 grid_span=grid_span,
+                                 coord_stride=coord_stride)
     if mode == "NORMAL":
         sampled = bilinear_sample(im, x_s, y_s)
     elif mode == "FAST":

@@ -71,10 +71,11 @@ def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
                                              "fusion_mode", "grid_span",
-                                             "out_format"))
+                                             "out_format", "coord_stride"))
 def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                      warp_mode: str, fusion_mode: str,
-                     grid_span=None, out_format: str = "bgr"):
+                     grid_span=None, out_format: str = "bgr",
+                     coord_stride: int = 1):
     """Warp+fuse a chunk of frames.
 
     img1/img2: [B, H, W, 3] uint8 (or float 0..255); mesh1/mesh2:
@@ -111,7 +112,7 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     T = tps_params(source, target)
     warped = tps_warp(stack, source, target, (oh, ow), mode=warp_mode, T=T,
                       use_pallas=pallas_available(),
-                      grid_span=(span_h, span_w))
+                      grid_span=(span_h, span_w), coord_stride=coord_stride)
     w1, w2 = warped[:B], warped[B:]
 
     if fusion_mode == "AVERAGE":
@@ -180,7 +181,9 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
                                  (canvas.pad_h, canvas.pad_w),
                                  config.warp_mode, config.fusion_mode,
                                  grid_span=(canvas.out_h, canvas.out_w),
-                                 out_format=out_format)
+                                 out_format=out_format,
+                                 coord_stride=getattr(config, "coord_stride",
+                                                      1))
         if out_format == "yuv420":
             yp, up, vp = fused
             cropped = (yp[:e - s, :oh, :ow],

@@ -139,21 +139,26 @@ class VideoStitcher:
             hi2_dev = jnp.concatenate(chunks2, 0)[:T]
         else:
             if lo1 is None or lo2 is None:
+                # enqueue view-1's preprocess + temporal motion right after
+                # its upload so that compute hides under view-2's transfer
+                # (the relay's h2d runs concurrently with device compute)
                 hi1_dev = jnp.asarray(np.ascontiguousarray(hi1, np.uint8))
-                hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, np.uint8))
-                timer.mark("upload", sync=(hi1_dev, hi2_dev))
                 if hi1.ndim == 3:   # packed I420 [T, H*3//2, W]
                     hi1_dev = self._unpack_i420(hi1_dev)
-                    hi2_dev = self._unpack_i420(hi2_dev)
                 lo1j = self._preprocess(hi1_dev, mh, mw)
+                tmotion1 = self._motion.temporal(lo1j)
+                hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, np.uint8))
+                timer.mark("upload", sync=hi2_dev)
+                if hi2.ndim == 3:
+                    hi2_dev = self._unpack_i420(hi2_dev)
                 lo2j = self._preprocess(hi2_dev, mh, mw)
             else:
                 hi1_dev, hi2_dev = hi1, hi2
                 lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
                 timer.mark("upload", sync=(lo1j, lo2j))
+                tmotion1 = self._motion.temporal(lo1j)
             smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
             timer.mark("spatial", sync=(smotion1, smotion2))
-            tmotion1 = self._motion.temporal(lo1j)
             tmotion2 = self._motion.temporal(lo2j)
             timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
 

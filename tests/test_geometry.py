@@ -171,6 +171,67 @@ class TestCCL:
         np.testing.assert_allclose(np.asarray(flow), ref, rtol=1e-3, atol=1e-4)
 
 
+class TestCoordStride:
+    """Coarse-grid TPS coordinate evaluation (the composite default,
+    StitchConfig.coord_stride=4) must stay within a small pixel budget of
+    the exact field on realistic smooth meshes."""
+
+    def _coords(self, sigma, stride, seed=0):
+        from stabstitch2_tpu.ops.mesh import (mesh_points, normalize_mesh,
+                                              rigid_mesh)
+        from stabstitch2_tpu.ops.tps import tps_params, tps_sample_coords
+
+        rng = np.random.default_rng(seed)
+        H, W, span, ih, iw = 416, 544, (383, 540), 360, 480
+        rig = np.asarray(rigid_mesh(ih, iw))
+        mesh = (rig[None] + rng.normal(0, sigma, (4, 7, 9, 2))
+                + np.asarray([40.0, 10.0])).astype(np.float32)
+        src = mesh_points(normalize_mesh(jnp.asarray(mesh), *span))
+        tgt = jnp.broadcast_to(
+            mesh_points(normalize_mesh(jnp.asarray(rig), ih, iw))[None],
+            src.shape)
+        T = tps_params(src, tgt)
+        exact = tps_sample_coords(T, src, (H, W), grid_span=span)
+        approx = tps_sample_coords(T, src, (H, W), grid_span=span,
+                                   coord_stride=stride)
+        dx = np.abs(np.asarray(approx[0] - exact[0])).max() * iw / 2
+        dy = np.abs(np.asarray(approx[1] - exact[1])).max() * ih / 2
+        return max(dx, dy)
+
+    def test_stride4_under_quarter_pixel(self):
+        # realistic camera-shake mesh noise (a few px at 60 px spacing)
+        assert self._coords(sigma=3.0, stride=4) < 0.25
+
+    def test_stride1_is_exact_path(self):
+        assert self._coords(sigma=3.0, stride=1) == 0.0
+
+    def test_composite_stride_vs_exact_frames(self):
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.compositor import composite_video
+
+        rng = np.random.default_rng(2)
+        T, H, W = 4, 120, 160
+        i1 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        i2 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        xs, ys = np.linspace(0, W, 9), np.linspace(0, H, 7)
+        base = np.stack(np.meshgrid(xs, ys), -1)[None]
+        m1 = jnp.asarray((base + rng.normal(0, 1.0, (T, 7, 9, 2))
+                          ).astype(np.float32))
+        m2 = jnp.asarray((base + rng.normal(0, 1.0, (T, 7, 9, 2)) + 25
+                          ).astype(np.float32))
+        exact, _ = composite_video(i1, i2, m1, m2,
+                                   StitchConfig(canvas_bucket=16,
+                                                coord_stride=1),
+                                   chunk=2, model_size=(H, W))
+        approx, _ = composite_video(i1, i2, m1, m2,
+                                    StitchConfig(canvas_bucket=16,
+                                                 coord_stride=4),
+                                    chunk=2, model_size=(H, W))
+        d = np.abs(exact.astype(np.float32) - approx.astype(np.float32))
+        # random-noise imagery = worst case for sub-pixel coordinate shifts
+        assert d.mean() < 3.0
+
+
 class TestPallasTPSKernel:
     def test_interpret_mode_matches_jnp(self):
         from stabstitch2_tpu.ops.tps import tps_params, tps_sample_coords
