@@ -95,6 +95,21 @@ def cmd_stitch(args):
         q.put(None)
 
     threading.Thread(target=loader, daemon=True).start()
+
+    def finish_and_write(entry):
+        name, out, pending, t0 = entry
+        result = stitcher.stitch_finish(pending)
+        write_video(out, result.frames, frame_format=result.frame_format)
+        result.fps["encode"] = len(result.frames) / max(time.time() - t0, 1e-9)
+        print(f"{name}: {result.frames.shape[0]} frames -> {out} "
+              f"canvas={result.canvas.out_w}x{result.canvas.out_h} "
+              f"fps={ {k: round(v, 2) for k, v in result.fps.items()} } "
+              f"({time.time() - t0:.1f}s)")
+
+    # two-deep software pipeline: video k+1's uploads+motion+smoothing are
+    # enqueued BEFORE video k's downloads are collected, so the d2h drain
+    # (the bottleneck leg) overlaps the next video's compute
+    in_flight = None
     while True:
         item = q.get()
         if item is None:
@@ -108,13 +123,12 @@ def cmd_stitch(args):
         t0 = time.time()
         hi1, lo1, hi2, lo2 = loaded
         with trace(args.trace_dir):
-            result = stitcher.stitch_arrays(hi1, lo1, hi2, lo2)
-        write_video(out, result.frames, frame_format=result.frame_format)
-        result.fps["encode"] = len(result.frames) / max(time.time() - t0, 1e-9)
-        print(f"{name}: {result.frames.shape[0]} frames -> {out} "
-              f"canvas={result.canvas.out_w}x{result.canvas.out_h} "
-              f"fps={ {k: round(v, 2) for k, v in result.fps.items()} } "
-              f"({time.time() - t0:.1f}s)")
+            pending = stitcher.stitch_begin(hi1, lo1, hi2, lo2)
+        if in_flight is not None:
+            finish_and_write(in_flight)
+        in_flight = (name, out, pending, t0)
+    if in_flight is not None:
+        finish_and_write(in_flight)
     return 0
 
 

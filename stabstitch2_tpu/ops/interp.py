@@ -73,6 +73,52 @@ def bilinear_sample(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndar
     return out.astype(compute_dtype)
 
 
+def bilinear_mask(im_h: int, im_w: int, x: jnp.ndarray,
+                  y: jnp.ndarray) -> jnp.ndarray:
+    """Warped all-ones-channel value WITHOUT a gather (NORMAL semantics).
+
+    The reference warps ``concat([img, ones])`` and reads the last channel
+    as the coverage mask. Because the ones-plane is 1 at every (clamped)
+    corner, the sampled value is exactly the sum of the four bilinear
+    weights — pure arithmetic. This matters on TPU: a 4-channel gather
+    lowers ~3 orders of magnitude slower than 3-channel (measured; see
+    BENCHMARKS.md round 2), so the compositor gathers BGR only and gets
+    the mask from here.
+    """
+    W, H = im_w, im_h
+    xf = (x + 1.0) * (W / 2.0)
+    yf = (y + 1.0) * (H / 2.0)
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    x0c = jnp.clip(x0, 0.0, W - 1)
+    x1c = jnp.clip(x0 + 1.0, 0.0, W - 1)
+    y0c = jnp.clip(y0, 0.0, H - 1)
+    y1c = jnp.clip(y0 + 1.0, 0.0, H - 1)
+    return ((x1c - xf) * (y1c - yf) + (x1c - xf) * (yf - y0c)
+            + (xf - x0c) * (y1c - yf) + (xf - x0c) * (yf - y0c))
+
+
+def grid_sample_mask_align_corners(im_h: int, im_w: int, x: jnp.ndarray,
+                                   y: jnp.ndarray) -> jnp.ndarray:
+    """FAST-mode coverage mask without a gather (valid-corner weight sum)."""
+    W, H = im_w, im_h
+    xf = (x + 1.0) * ((W - 1) / 2.0)
+    yf = (y + 1.0) * ((H - 1) / 2.0)
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    total = jnp.zeros_like(xf)
+    for ix, iy, w in (
+            (x0, y0, (x1 - xf) * (y1 - yf)),
+            (x0, y1, (x1 - xf) * (yf - y0)),
+            (x1, y0, (xf - x0) * (y1 - yf)),
+            (x1, y1, (xf - x0) * (yf - y0))):
+        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        total = total + jnp.where(valid, w, 0.0)
+    return total
+
+
 def grid_sample_align_corners(im: jnp.ndarray, x: jnp.ndarray,
                               y: jnp.ndarray) -> jnp.ndarray:
     """``F.grid_sample(align_corners=True, padding_mode='zeros')`` semantics.

@@ -28,7 +28,7 @@ import numpy as np
 from stabstitch2_tpu.config import MODEL_H, MODEL_W, StitchConfig
 from stabstitch2_tpu.ops.blend import average_fusion, linear_fusion
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
-from stabstitch2_tpu.ops.tps import tps_params, tps_warp
+from stabstitch2_tpu.ops.tps import tps_params
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,25 +101,44 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     norm_rigid = mesh_points(normalize_mesh(rigid, H, W))[None]
     norm_rigid = jnp.broadcast_to(norm_rigid, norm1.shape)
 
-    mask = jnp.ones((B, H, W, 1), img1.dtype)
-    stack = jnp.concatenate([
-        jnp.concatenate([img1, mask], -1),
-        jnp.concatenate([img2, mask], -1)], axis=0)
+    stack = jnp.concatenate([img1, img2], axis=0)
     source = jnp.concatenate([norm1, norm2], axis=0)
     target = jnp.concatenate([norm_rigid, norm_rigid], axis=0)
+    from stabstitch2_tpu.ops.interp import (
+        bilinear_mask,
+        bilinear_sample,
+        grid_sample_align_corners,
+        grid_sample_mask_align_corners,
+    )
     from stabstitch2_tpu.ops.pallas_warp import pallas_available
+    from stabstitch2_tpu.ops.tps import tps_sample_coords
 
+    # Gather 3 channels only and derive the coverage mask arithmetically
+    # (ops/interp.py:bilinear_mask): warping a concatenated ones-plane like
+    # the reference does is semantically identical but a 4-channel gather
+    # hits a pathologically slow XLA lowering on TPU (measured ~70-120 ms
+    # vs ~0.1 ms for 3 channels per 16-image chunk).
     T = tps_params(source, target)
-    warped = tps_warp(stack, source, target, (oh, ow), mode=warp_mode, T=T,
-                      use_pallas=pallas_available(),
-                      grid_span=(span_h, span_w), coord_stride=coord_stride)
+    x_s, y_s = tps_sample_coords(T, source, (oh, ow),
+                                 use_pallas=pallas_available(),
+                                 grid_span=(span_h, span_w),
+                                 coord_stride=coord_stride)
+    if warp_mode == "NORMAL":
+        sampled = bilinear_sample(stack, x_s, y_s)
+        m = bilinear_mask(H, W, x_s, y_s)
+    elif warp_mode == "FAST":
+        sampled = grid_sample_align_corners(stack, x_s, y_s)
+        m = grid_sample_mask_align_corners(H, W, x_s, y_s)
+    else:
+        raise ValueError(f"unknown warp mode {warp_mode!r}")
+    warped = sampled.reshape(2 * B, oh, ow, 3)
+    masks = m.reshape(2 * B, oh, ow)
     w1, w2 = warped[:B], warped[B:]
 
     if fusion_mode == "AVERAGE":
-        fused = average_fusion(w1[..., :3], w2[..., :3])
+        fused = average_fusion(w1, w2)
     else:
-        fused = jax.vmap(linear_fusion)(w1[..., :3], w2[..., :3],
-                                        w1[..., 3], w2[..., 3])
+        fused = jax.vmap(linear_fusion)(w1, w2, masks[:B], masks[B:])
     fused = jnp.clip(fused, 0.0, 255.0)
     if out_format == "yuv420":
         from stabstitch2_tpu.ops.yuv import bgr_to_yuv420
@@ -128,20 +147,19 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     return fused.astype(jnp.uint8)
 
 
-def composite_video(img1: np.ndarray, img2: np.ndarray,
+def composite_begin(img1: np.ndarray, img2: np.ndarray,
                     smooth_mesh1: jnp.ndarray, smooth_mesh2: jnp.ndarray,
                     config: Optional[StitchConfig] = None,
                     chunk: int = 8,
                     model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
-                    timer=None,
-                    ) -> Tuple[np.ndarray, Canvas]:
-    """Composite a whole video.
+                    ):
+    """Enqueue a whole video's composite without fetching any result.
 
-    img1/img2: [T, H, W, 3] uint8 (host); smooth_mesh*:
-    [T, GH+1, GW+1, 2] model-resolution meshes. Returns (frames
-    [T, out_h, out_w, 3] uint8, canvas). All chunk computations are
-    enqueued before any result is fetched, so the async dispatch pipeline
-    overlaps uploads, compute, and downloads.
+    Returns an opaque pending state for :func:`composite_finish`. Splitting
+    enqueue from collection lets a caller start the NEXT video's uploads
+    and compute while this video's chunk downloads drain — the device->host
+    link is the pipeline bottleneck, so cross-video overlap is where the
+    sustained throughput comes from (see VideoStitcher.stitch_begin).
     """
     config = config or StitchConfig()
     out_format = getattr(config, "download_format", "bgr")
@@ -198,6 +216,12 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
             except AttributeError:
                 pass
         pending.append(cropped)
+    return pending, canvas, out_format, (oh, ow)
+
+
+def composite_finish(state, timer=None) -> Tuple[np.ndarray, Canvas]:
+    """Fetch and assemble the frames enqueued by :func:`composite_begin`."""
+    pending, canvas, out_format, (oh, ow) = state
     if timer is not None:
         # warp_fuse = until the last chunk's compute finishes; download =
         # the residual fetch time (d2h copies were already issued async,
@@ -215,3 +239,23 @@ def composite_video(img1: np.ndarray, img2: np.ndarray,
              for y, u, v in outs], axis=0).reshape(-1, oh * 3 // 2, ow)
         return frames, canvas
     return np.concatenate([o[0] for o in outs], axis=0), canvas
+
+
+def composite_video(img1: np.ndarray, img2: np.ndarray,
+                    smooth_mesh1: jnp.ndarray, smooth_mesh2: jnp.ndarray,
+                    config: Optional[StitchConfig] = None,
+                    chunk: int = 8,
+                    model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
+                    timer=None,
+                    ) -> Tuple[np.ndarray, Canvas]:
+    """Composite a whole video (enqueue + fetch in one call).
+
+    img1/img2: [T, H, W, 3] uint8 (host or device); smooth_mesh*:
+    [T, GH+1, GW+1, 2] model-resolution meshes. Returns (frames, canvas);
+    frames are uint8 BGR [T,oh,ow,3] or packed I420 [T,oh*3//2,ow]
+    depending on config.download_format.
+    """
+    state = composite_begin(img1, img2, smooth_mesh1, smooth_mesh2,
+                            config=config, chunk=chunk,
+                            model_size=model_size)
+    return composite_finish(state, timer=timer)

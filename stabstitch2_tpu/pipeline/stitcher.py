@@ -20,7 +20,7 @@ import numpy as np
 
 from stabstitch2_tpu.config import MODEL_H, MODEL_W, WINDOW, StitchConfig
 from stabstitch2_tpu.models import SmoothNet, SpatialNet, TemporalNet
-from stabstitch2_tpu.pipeline.compositor import Canvas, composite_video
+from stabstitch2_tpu.pipeline.compositor import Canvas, composite_begin
 from stabstitch2_tpu.pipeline.motion import MotionEstimator
 from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
 from stabstitch2_tpu.pipeline.transport import (
@@ -42,6 +42,16 @@ class StitchResult:
     # per-phase wall-clock (upload / spatial / temporal / smooth /
     # warp_fuse / download / encode), reference-style attribution
     frame_format: str = "bgr"     # 'bgr' [T,H,W,3] or 'i420' [T,H*3//2,W]
+
+
+@dataclasses.dataclass
+class _PendingStitch:
+    """In-flight video: composite enqueued, downloads draining."""
+
+    state: tuple              # composite_begin pending state
+    smooth: Dict
+    timer: object
+    T: int
 
 
 @dataclasses.dataclass
@@ -96,6 +106,20 @@ class VideoStitcher:
         lo*: [T, mh, mw, 3] in [-1, 1] or None to resize+normalize on
         device (the fast path — frames cross the host<->device link once,
         as uint8)."""
+        return self.stitch_finish(self.stitch_begin(hi1, lo1, hi2, lo2))
+
+    def stitch_begin(self, hi1: np.ndarray,
+                     lo1: Optional[np.ndarray],
+                     hi2: np.ndarray,
+                     lo2: Optional[np.ndarray]):
+        """Enqueue one video's full pipeline; return pending state.
+
+        Nothing is fetched: call :meth:`stitch_finish` to collect. Callers
+        that stream many videos should begin video k+1 BEFORE finishing
+        video k — the k-th video's composite downloads (the pipeline's
+        bottleneck leg on a tunneled chip) then drain underneath the
+        (k+1)-th video's uploads, motion, and smoothing. See cli.cmd_stitch.
+        """
         from stabstitch2_tpu.utils.profiling import PhaseTimer
 
         T = hi1.shape[0]
@@ -174,14 +198,22 @@ class VideoStitcher:
                                     window=self.config.window)
         timer.mark("smooth", sync=smooth["smooth_mesh1"])
 
-        # phase 5: composite at native resolution (timer gets warp_fuse /
-        # download marks inside)
-        frames, canvas = composite_video(hi1_dev, hi2_dev, smooth["smooth_mesh1"],
-                                         smooth["smooth_mesh2"],
-                                         config=self.config, chunk=self.chunk,
-                                         model_size=(mh, mw), timer=timer)
-        timer.fps["composite"] = T / (time.time() - timer.t0)
+        # phase 5: composite at native resolution — enqueue only; chunk
+        # downloads are requested async and drain in the background
+        state = composite_begin(hi1_dev, hi2_dev, smooth["smooth_mesh1"],
+                                smooth["smooth_mesh2"],
+                                config=self.config, chunk=self.chunk,
+                                model_size=(mh, mw))
+        return _PendingStitch(state=state, smooth=smooth, timer=timer, T=T)
 
+    def stitch_finish(self, pending: "_PendingStitch") -> StitchResult:
+        """Collect the frames enqueued by :meth:`stitch_begin`."""
+        from stabstitch2_tpu.pipeline.compositor import composite_finish
+
+        timer = pending.timer
+        frames, canvas = composite_finish(pending.state, timer=timer)
+        timer.fps["composite"] = pending.T / (time.time() - timer.t0)
+        smooth = pending.smooth
         fmt = ("i420" if getattr(self.config, "download_format", "bgr")
                == "yuv420" else "bgr")
         return StitchResult(frames=frames, canvas=canvas, fps=timer.fps,

@@ -171,6 +171,36 @@ class TestCCL:
         np.testing.assert_allclose(np.asarray(flow), ref, rtol=1e-3, atol=1e-4)
 
 
+class TestMaskNoGather:
+    """The compositor's arithmetic coverage mask must equal warping an
+    all-ones channel (what the reference does) bit-for-bit in both modes."""
+
+    def test_normal_mode(self):
+        from stabstitch2_tpu.ops.interp import bilinear_mask, bilinear_sample
+
+        rng = np.random.default_rng(0)
+        ones = jnp.ones((3, 20, 30, 1), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1.4, 1.4, (3, 500)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1.4, 1.4, (3, 500)).astype(np.float32))
+        gathered = np.asarray(bilinear_sample(ones, x, y))[..., 0]
+        arith = np.asarray(bilinear_mask(20, 30, x, y))
+        np.testing.assert_allclose(arith, gathered, atol=1e-6)
+
+    def test_fast_mode(self):
+        from stabstitch2_tpu.ops.interp import (
+            grid_sample_align_corners,
+            grid_sample_mask_align_corners,
+        )
+
+        rng = np.random.default_rng(1)
+        ones = jnp.ones((3, 20, 30, 1), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1.4, 1.4, (3, 500)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1.4, 1.4, (3, 500)).astype(np.float32))
+        gathered = np.asarray(grid_sample_align_corners(ones, x, y))[..., 0]
+        arith = np.asarray(grid_sample_mask_align_corners(20, 30, x, y))
+        np.testing.assert_allclose(arith, gathered, atol=1e-6)
+
+
 class TestCoordStride:
     """Coarse-grid TPS coordinate evaluation (the composite default,
     StitchConfig.coord_stride=4) must stay within a small pixel budget of
