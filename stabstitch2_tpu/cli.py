@@ -163,24 +163,32 @@ def cmd_train(args):
     from stabstitch2_tpu.train import loop
 
     stage = args.stage
-    if stage == "spatial":
-        cfg = C.spatial_train_preset(args.preset)
+    nd = args.n_devices
+
+    def with_max_epoch(cfg):
         if args.max_epoch:
-            cfg = type(cfg)(**{**cfg.__dict__, "max_epoch": args.max_epoch})
+            return type(cfg)(**{**cfg.__dict__, "max_epoch": args.max_epoch})
+        return cfg
+
+    if stage == "spatial":
+        cfg = with_max_epoch(C.spatial_train_preset(args.preset))
         loop.train_spatial(args.train_path, args.test_path, cfg,
                            model_dir=args.model_dir,
                            summary_dir=args.summary_dir,
-                           max_steps_per_epoch=args.max_steps_per_epoch)
+                           max_steps_per_epoch=args.max_steps_per_epoch,
+                           n_devices=nd)
     elif stage == "temporal":
-        cfg = C.temporal_train_preset(args.preset)
+        cfg = with_max_epoch(C.temporal_train_preset(args.preset))
         loop.train_temporal(args.train_path, cfg, model_dir=args.model_dir,
                             summary_dir=args.summary_dir,
-                            max_steps_per_epoch=args.max_steps_per_epoch)
+                            max_steps_per_epoch=args.max_steps_per_epoch,
+                            n_devices=nd)
     elif stage == "smooth":
-        cfg = C.smooth_train_preset(args.preset)
+        cfg = with_max_epoch(C.smooth_train_preset(args.preset))
         loop.train_smooth(args.train_path, cfg, model_dir=args.model_dir,
                           summary_dir=args.summary_dir,
-                          max_steps_per_epoch=args.max_steps_per_epoch)
+                          max_steps_per_epoch=args.max_steps_per_epoch,
+                          n_devices=nd)
     return 0
 
 
@@ -243,6 +251,9 @@ def main(argv=None):
     p.add_argument("--summary_dir", default=None)
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard training over a (data, model) mesh of this "
+                        "many devices (parallel/sharding.py)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("export-motions",

@@ -38,7 +38,12 @@ def parallelize_step(step_fn: Callable, state: Any, batch_template: Any,
         in_shardings = (st_sh, *b_sh)
     else:
         in_shardings = (st_sh, b_sh)
+    # pin the output state to the same shardings as the input so the step
+    # can be called in a loop (XLA would otherwise propagate TP shardings
+    # onto extra leaves, e.g. the last Dense kernel's input dim, and the
+    # next call's in_shardings check would reject the state)
     jitted = jax.jit(step_fn, in_shardings=in_shardings,
+                     out_shardings=(st_sh, None),
                      donate_argnums=(0,) if donate_state else ())
     sharded_state = jax.device_put(state, st_sh)
     return jitted, sharded_state, mesh

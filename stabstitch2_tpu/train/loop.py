@@ -42,6 +42,25 @@ from stabstitch2_tpu.train.temporal import temporal_train_step
 from stabstitch2_tpu.utils.checkpoint import TrainCheckpointer
 
 
+def _parallel(step_closure, state, batch, n_devices):
+    """Shard a trainer's step over a (data, model) mesh.
+
+    Returns (jitted_step, sharded_state, mesh). Called lazily on the first
+    batch so the batch template carries the real shapes/dtypes. The same
+    machinery backs the driver's multichip dryrun (__graft_entry__), so
+    trainers and dryrun share one code path.
+    """
+    from stabstitch2_tpu.parallel.train import parallelize_step
+
+    return parallelize_step(step_closure, state, batch, n_devices=n_devices)
+
+
+def _shard(mesh, batch):
+    from stabstitch2_tpu.parallel.train import shard_batch
+
+    return shard_batch(mesh, batch)
+
+
 def _writer(summary_dir: Optional[str]):
     if not summary_dir:
         return None
@@ -63,14 +82,16 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
                   summary_dir: Optional[str] = None,
                   vgg_variables=None, seed: int = 0,
                   max_steps_per_epoch: Optional[int] = None,
-                  model_h: int = 360, model_w: int = 480) -> TrainState:
+                  model_h: int = 360, model_w: int = 480,
+                  n_devices: Optional[int] = None) -> TrainState:
     cfg = cfg or SpatialTrainConfig()
     net = SpatialNet()
     rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, model_h, model_w, 3))
     variables = net.init(rng, img, img, False)
 
-    dataset = SpatialPairDataset(train_path, training=True, seed=seed)
+    dataset = SpatialPairDataset(train_path, training=True, seed=seed,
+                                 model_size=(model_h, model_w))
     if len(dataset) < cfg.batch_size:
         raise ValueError(f"dataset too small: {len(dataset)} samples "
                          f"< batch size {cfg.batch_size}")
@@ -92,6 +113,11 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
         state = state.replace(**restored)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
+    def _raw_step(st, img1, img2, sub):
+        return spatial_train_step.__wrapped__(st, img1, img2, sub, net, cfg,
+                                              vgg_apply)
+
+    par_step = mesh = None
     best_ssim = -1.0
     for epoch in range(start_epoch, cfg.max_epoch):
         t0 = time.time()
@@ -100,9 +126,15 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
             if bi >= steps_per_epoch:
                 break
             rng, sub = jax.random.split(rng)
-            state, metrics = spatial_train_step(
-                state, jnp.asarray(img1), jnp.asarray(img2), sub, net, cfg,
-                vgg_apply)
+            batch = (jnp.asarray(img1), jnp.asarray(img2), sub)
+            if n_devices and n_devices > 1 and par_step is None:
+                par_step, state, mesh = _parallel(_raw_step, state, batch,
+                                                  n_devices)
+            if par_step is not None:
+                state, metrics = par_step(state, *_shard(mesh, batch))
+            else:
+                state, metrics = spatial_train_step(
+                    state, *batch, net, cfg, vgg_apply)
             if bi % 100 == 0:
                 _log(writer, metrics, int(state.step))
             # image panels every 300 iters (reference train_ssd.py:143-149)
@@ -122,7 +154,8 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
 
         # per-epoch SSIM eval on every 20th test sample + best checkpoint
         if test_path:
-            test_ds = SpatialPairDataset(test_path, training=False)
+            test_ds = SpatialPairDataset(test_path, training=False,
+                                         model_size=(model_h, model_w))
             ssims = []
             for i in range(0, len(test_ds), 20):
                 a, b = test_ds[i]
@@ -154,14 +187,16 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
                    model_dir: str = "model_temporal",
                    summary_dir: Optional[str] = None, seed: int = 0,
                    max_steps_per_epoch: Optional[int] = None,
-                   model_h: int = 360, model_w: int = 480) -> TrainState:
+                   model_h: int = 360, model_w: int = 480,
+                   n_devices: Optional[int] = None) -> TrainState:
     cfg = cfg or TemporalTrainConfig()
     net = TemporalNet()
     rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, model_h, model_w, 3))
     variables = net.init(rng, img, img, False)
 
-    dataset = TemporalPairDataset(train_path, cfg.train_frame_num, seed=seed)
+    dataset = TemporalPairDataset(train_path, cfg.train_frame_num, seed=seed,
+                                  model_size=(model_h, model_w))
     if len(dataset) < cfg.batch_size:
         raise ValueError(f"dataset too small: {len(dataset)} samples "
                          f"< batch size {cfg.batch_size}")
@@ -179,6 +214,10 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
         state = state.replace(**restored)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
+    def _raw_step(st, prev, nxt, sub):
+        return temporal_train_step.__wrapped__(st, prev, nxt, sub, net, cfg)
+
+    par_step = mesh = None
     for epoch in range(start_epoch, cfg.max_epoch):
         t0 = time.time()
         it = batch_iterator(dataset, cfg.batch_size, seed=seed + epoch)
@@ -186,8 +225,14 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
             if bi >= steps_per_epoch:
                 break
             rng, sub = jax.random.split(rng)
-            state, metrics = temporal_train_step(
-                state, jnp.asarray(prev), jnp.asarray(nxt), sub, net, cfg)
+            batch = (jnp.asarray(prev), jnp.asarray(nxt), sub)
+            if n_devices and n_devices > 1 and par_step is None:
+                par_step, state, mesh = _parallel(_raw_step, state, batch,
+                                                  n_devices)
+            if par_step is not None:
+                state, metrics = par_step(state, *_shard(mesh, batch))
+            else:
+                state, metrics = temporal_train_step(state, *batch, net, cfg)
             if bi % 100 == 0:
                 _log(writer, metrics, int(state.step))
         print(f"[temporal] epoch {epoch + 1}/{cfg.max_epoch} "
@@ -203,7 +248,8 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
 def train_smooth(train_path: str, cfg: Optional[SmoothTrainConfig] = None,
                  model_dir: str = "model_smooth",
                  summary_dir: Optional[str] = None, seed: int = 0,
-                 max_steps_per_epoch: Optional[int] = None) -> TrainState:
+                 max_steps_per_epoch: Optional[int] = None,
+                 n_devices: Optional[int] = None) -> TrainState:
     cfg = cfg or SmoothTrainConfig()
     net = SmoothNet()
     rng = jax.random.PRNGKey(seed)
@@ -230,14 +276,24 @@ def train_smooth(train_path: str, cfg: Optional[SmoothTrainConfig] = None,
         state = state.replace(**restored)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
+    def _raw_step(st, *batch):
+        return smooth_train_step.__wrapped__(st, batch, net, cfg)
+
+    par_step = mesh = None
     for epoch in range(start_epoch, cfg.max_epoch):
         t0 = time.time()
         it = batch_iterator(dataset, cfg.batch_size, seed=seed + epoch)
         for bi, batch in enumerate(it):
             if bi >= steps_per_epoch:
                 break
-            state, metrics = smooth_train_step(
-                state, tuple(jnp.asarray(b) for b in batch), net, cfg)
+            batch = tuple(jnp.asarray(b) for b in batch)
+            if n_devices and n_devices > 1 and par_step is None:
+                par_step, state, mesh = _parallel(_raw_step, state, batch,
+                                                  n_devices)
+            if par_step is not None:
+                state, metrics = par_step(state, *_shard(mesh, batch))
+            else:
+                state, metrics = smooth_train_step(state, batch, net, cfg)
             if bi % 100 == 0:
                 _log(writer, metrics, int(state.step))
         print(f"[smooth] epoch {epoch + 1}/{cfg.max_epoch} "

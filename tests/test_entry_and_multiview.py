@@ -149,6 +149,37 @@ class TestThreeViewParity:
                                        atol=2e-2, rtol=1e-5, err_msg=name)
 
 
+class TestTrainerOnMesh:
+    """n_devices wires the REAL trainer loop through parallelize_step: one
+    epoch on the 8-device CPU mesh must match single-device training (same
+    seeds -> same batches/rngs; GSPMD keeps single-program semantics)."""
+
+    def _run(self, tmp_path, tag, n_devices):
+        from stabstitch2_tpu.config import TemporalTrainConfig
+        from stabstitch2_tpu.train import loop
+
+        train_dir = str(tmp_path / "train")
+        if not os.path.exists(train_dir):
+            from synthetic import write_clip_dirs
+            write_clip_dirs(train_dir, num_frames=20, height=128, width=160,
+                            seed=4)
+        cfg = TemporalTrainConfig(batch_size=8, max_epoch=1)
+        return loop.train_temporal(
+            train_dir, cfg, model_dir=str(tmp_path / f"m_{tag}"),
+            seed=0, max_steps_per_epoch=2, model_h=128, model_w=160,
+            n_devices=n_devices)
+
+    def test_one_epoch_matches_single_device(self, tmp_path):
+        s1 = self._run(tmp_path, "single", None)
+        s8 = self._run(tmp_path, "mesh8", 8)
+        assert int(s1.step) == int(s8.step) == 2
+        flat1 = jax.tree_util.tree_leaves(s1.params)
+        flat8 = jax.tree_util.tree_leaves(s8.params)
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=5e-4)
+
+
 class TestChainFusionModes:
     def test_composite_chain_linear_and_average(self):
         from stabstitch2_tpu.config import StitchConfig
