@@ -128,6 +128,9 @@ class OnlineStitcher:
         self._pending_hi: List = []
         self.canvas: Optional[Canvas] = None
         self._offset = None
+        # frame indices where the causal canvas was re-anchored (camera
+        # drifted beyond the first-window extents + margin)
+        self.reanchor_frames: List[int] = []
 
     # ------------------------------------------------------------------
 
@@ -148,12 +151,47 @@ class OnlineStitcher:
         self._offset = jnp.asarray([self.canvas.x_min, self.canvas.y_min],
                                    jnp.float32)
 
+    def _fits(self, m1, m2) -> bool:
+        c = self.canvas
+        m = np.asarray(jnp.stack([m1, m2]))
+        return bool(m[..., 0].min() >= c.x_min
+                    and m[..., 0].max() <= c.x_min + c.out_w
+                    and m[..., 1].min() >= c.y_min
+                    and m[..., 1].max() <= c.y_min + c.out_h)
+
+    def _reanchor(self, m1, m2):
+        """Camera drifted beyond the canvas: re-center on current content.
+
+        If the content still fits the existing output size, only the anchor
+        shifts — the padded shape (and thus the compiled composite program)
+        is unchanged, so a pan costs nothing. Only genuine growth (content
+        larger than the canvas) recompiles for a bigger bucket.
+        """
+        m = np.asarray(jnp.stack([m1, m2]))
+        need_w = (m[..., 0].max() - m[..., 0].min()) * self.canvas_margin
+        need_h = (m[..., 1].max() - m[..., 1].min()) * self.canvas_margin
+        c = self.canvas
+        if need_w <= c.out_w and need_h <= c.out_h:
+            cx = (m[..., 0].min() + m[..., 0].max()) / 2.0
+            cy = (m[..., 1].min() + m[..., 1].max()) / 2.0
+            self.canvas = Canvas(out_h=c.out_h, out_w=c.out_w,
+                                 pad_h=c.pad_h, pad_w=c.pad_w,
+                                 x_min=float(cx - c.out_w / 2.0),
+                                 y_min=float(cy - c.out_h / 2.0))
+            self._offset = jnp.asarray(
+                [self.canvas.x_min, self.canvas.y_min], jnp.float32)
+        else:
+            self._establish_canvas(m1, m2, 0, 0)
+        self.reanchor_frames.append(self._t)
+
     def _composite_one(self, hi1, hi2, mesh1, mesh2):
         H, W = hi1.shape[0], hi1.shape[1]
         m1 = scale_meshes(mesh1[None], H, W, self.mh, self.mw)
         m2 = scale_meshes(mesh2[None], H, W, self.mh, self.mw)
         if self.canvas is None:
             self._establish_canvas(m1, m2, H, W)
+        elif not self._fits(m1, m2):
+            self._reanchor(m1, m2)
         fused = _composite_chunk(
             jnp.asarray(hi1)[None], jnp.asarray(hi2)[None], m1, m2,
             self._offset, (self.canvas.pad_h, self.canvas.pad_w),

@@ -61,3 +61,58 @@ class TestOnlineStitcher:
         np.testing.assert_allclose(np.asarray(sm1w[-1]),
                                    np.asarray(batch.smooth_mesh1[-1]),
                                    rtol=1e-3, atol=5e-3)
+
+
+class TestCanvasReanchor:
+    """Drift beyond the causal canvas re-anchors instead of silently
+    cropping (pipeline/online.py:_reanchor)."""
+
+    def _online(self):
+        st = init_stitcher(rng_seed=0, model_h=MH, model_w=MW, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        return OnlineStitcher(st)
+
+    def _mesh(self, dx=0.0, dy=0.0, scale=1.0):
+        xs = np.linspace(0, MW, 9) * scale + dx
+        ys = np.linspace(0, MH, 7) * scale + dy
+        return jnp.asarray(np.stack(np.meshgrid(xs, ys), -1)[None]
+                           .astype(np.float32))
+
+    def test_pan_shifts_anchor_same_program(self):
+        o = self._online()
+        o._establish_canvas(self._mesh(), self._mesh(dx=30), MH, MW)
+        c0 = o.canvas
+        # drift far right: content out of canvas -> shift, same padded shape
+        img = np.zeros((MH, MW, 3), np.uint8)
+        o._composite_one(img, img, self._mesh(dx=500)[0],
+                         self._mesh(dx=530)[0])
+        assert o.reanchor_frames == [0]
+        assert (o.canvas.pad_h, o.canvas.pad_w) == (c0.pad_h, c0.pad_w)
+        assert (o.canvas.out_h, o.canvas.out_w) == (c0.out_h, c0.out_w)
+        assert o.canvas.x_min > c0.x_min + 300
+
+    def test_growth_reestablishes_canvas(self):
+        o = self._online()
+        o._establish_canvas(self._mesh(), self._mesh(dx=30), MH, MW)
+        c0 = o.canvas
+        img = np.zeros((MH, MW, 3), np.uint8)
+        # zoom out: content twice the canvas -> grow
+        o._composite_one(img, img, self._mesh(scale=2.5)[0],
+                         self._mesh(scale=2.5, dx=40)[0])
+        assert o.reanchor_frames == [0]
+        assert o.canvas.out_w > c0.out_w
+
+    def test_streaming_survives_drift(self):
+        # margin 1.0: any jitter beyond the first window's extents triggers
+        # re-anchoring mid-stream; emission must continue with valid frames
+        st = init_stitcher(rng_seed=0, model_h=MH, model_w=MW, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        o = OnlineStitcher(st, canvas_margin=1.0)
+        T = 10
+        v1, v2 = make_two_view_clip(num_frames=T, height=MH, width=MW,
+                                    overlap=0.6, shake_px=4.0, seed=31)
+        emitted = []
+        for t in range(T):
+            emitted += o.push(v1[t], v2[t])
+        assert len(emitted) == T
+        assert all(np.isfinite(e.astype(np.float32)).all() for e in emitted)
