@@ -94,8 +94,27 @@ class VideoStitcher:
 
             return jnp.round(i420_to_bgr(packed_u8)).astype(jnp.uint8)
 
+        smooth_net = self.smooth_net
+        window = self.config.window
+        mh_, mw_ = self.model_h, self.model_w
+
+        @jax.jit
+        def _smooth_phase(smooth_vars, tmotion1, smotion1, tmotion2,
+                          smotion2):
+            # transport + stitched meshes + all-windows smoothing traced as
+            # ONE program: the eager version issues dozens of small
+            # dispatches whose enqueue overhead through the remote tunnel
+            # (~200 ms) dwarfs the ~77 ms of actual device compute
+            ts1, ts2 = transport_both_views(tmotion1, smotion1, tmotion2,
+                                            smotion2, mh_, mw_)
+            smesh1 = stitched_meshes(smotion1, mh_, mw_)
+            smesh2 = stitched_meshes(smotion2, mh_, mw_)
+            return smooth_all_windows(smooth_net, smooth_vars, smesh1,
+                                      smesh2, ts1, ts2, window=window)
+
         self._preprocess = _preprocess
         self._unpack_i420 = _unpack_i420
+        self._smooth_phase = _smooth_phase
 
     def stitch_arrays(self, hi1: np.ndarray,
                       lo1: Optional[np.ndarray],
@@ -186,16 +205,9 @@ class VideoStitcher:
             tmotion2 = self._motion.temporal(lo2j)
             timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
 
-        # phase 3: transport
-        ts1, ts2 = transport_both_views(tmotion1, smotion1, tmotion2,
-                                        smotion2, mh, mw)
-        smesh1 = stitched_meshes(smotion1, mh, mw)
-        smesh2 = stitched_meshes(smotion2, mh, mw)
-
-        # phase 4: batched sliding-window smoothing
-        smooth = smooth_all_windows(self.smooth_net, self.smooth_vars,
-                                    smesh1, smesh2, ts1, ts2,
-                                    window=self.config.window)
+        # phases 3+4: transport + batched sliding-window smoothing, one jit
+        smooth = self._smooth_phase(self.smooth_vars, tmotion1, smotion1,
+                                    tmotion2, smotion2)
         timer.mark("smooth", sync=smooth["smooth_mesh1"])
 
         # phase 5: composite at native resolution — enqueue only; chunk
