@@ -205,9 +205,25 @@ class VideoStitcher:
             tmotion2 = self._motion.temporal(lo2j)
             timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
 
-        # phases 3+4: transport + batched sliding-window smoothing, one jit
+        # phases 3+4: transport + batched sliding-window smoothing, one jit.
+        # Frame count is padded up to a bucket (repeat-last) so a dataset of
+        # variable-length videos compiles one program per bucket, not per
+        # length. Exact: frame t's smooth mesh depends only on frames <= t
+        # (window t-6..t), so end-padding never reaches a kept frame.
+        bucket = 16
+        Tb = -(-T // bucket) * bucket
+        if Tb != T:
+            def _pad(x):
+                return jnp.concatenate(
+                    [x, jnp.tile(x[-1:], (Tb - T, 1, 1, 1))], axis=0)
+            tmotion1, smotion1 = _pad(tmotion1), _pad(smotion1)
+            tmotion2, smotion2 = _pad(tmotion2), _pad(smotion2)
         smooth = self._smooth_phase(self.smooth_vars, tmotion1, smotion1,
                                     tmotion2, smotion2)
+        if Tb != T:
+            nw = T - self.config.window + 1
+            smooth = {k: (v[:nw] if k.startswith("win_") else v[:T])
+                      for k, v in smooth.items()}
         timer.mark("smooth", sync=smooth["smooth_mesh1"])
 
         # phase 5: composite at native resolution — enqueue only; chunk

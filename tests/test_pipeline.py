@@ -404,3 +404,35 @@ class TestDeterminismAndShapes:
                                         seed=seed)
             r = st.stitch_arrays(v1, None, v2, None)
             assert r.frames.shape[0] == T
+
+    def test_smooth_bucket_padding_is_exact(self):
+        # T=9 pads to the 16-frame smooth bucket; kept frames must equal
+        # the unpadded smoothing (end-padding never reaches frame t <= T)
+        from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
+        from stabstitch2_tpu.pipeline.transport import (
+            stitched_meshes,
+            transport_both_views,
+        )
+
+        mh, mw = 128, 160
+        T = 9
+        v1, v2 = make_two_view_clip(num_frames=T, height=mh, width=mw,
+                                    seed=17)
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        r = st.stitch_arrays(v1, None, v2, None)
+        # recompute the smooth meshes with NO padding, straight through the
+        # same building blocks
+        lo1 = st._preprocess(jnp.asarray(v1), mh, mw)
+        lo2 = st._preprocess(jnp.asarray(v2), mh, mw)
+        sm1, sm2 = st._motion.spatial(lo1, lo2)
+        tm1 = st._motion.temporal(lo1)
+        tm2 = st._motion.temporal(lo2)
+        ts1, ts2 = transport_both_views(tm1, sm1, tm2, sm2, mh, mw)
+        ref = smooth_all_windows(st.smooth_net, st.smooth_vars,
+                                 stitched_meshes(sm1, mh, mw),
+                                 stitched_meshes(sm2, mh, mw), ts1, ts2,
+                                 window=st.config.window)
+        np.testing.assert_allclose(np.asarray(r.smooth_mesh1),
+                                   np.asarray(ref["smooth_mesh1"]),
+                                   rtol=1e-5, atol=1e-4)
