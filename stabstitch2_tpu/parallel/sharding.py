@@ -3,10 +3,14 @@
 Design (v5e-style 2D ICI):
 - ``data`` axis: batch dimension of every input array (pure DP; gradients
   are reduced by XLA because params are replicated across ``data``).
-- ``model`` axis: output dimension of the wide regression-head Dense
-  kernels (1536x1024, 1024x512 ...). Sharding the kernel columns makes XLA
-  compute partial activations per chip and all-gather once per layer —
-  classic Megatron-style TP, expressed only through placement.
+- ``model`` axis: output channels of every wide conv (backbone layer2/3,
+  regression-head conv stacks) and the output dimension of the wide
+  regression-head Dense kernels (1536x1024, 1024x512 ...), plus the
+  matching per-channel BatchNorm/bias vectors. Sharding the output
+  channels makes GSPMD keep activations channel-sharded through the conv
+  stacks (each chip computes its slice of the output channels; the next
+  conv contracts over the sharded input channels and psums partials) —
+  Megatron-style TP over the conv trunk, expressed only through placement.
 
 Everything is rule-based over the parameter tree, so the same function
 shards the Adam mu/nu trees (same structure) for free.
@@ -39,11 +43,16 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
 def _leaf_spec(path: str, leaf) -> P:
     """Sharding rule for one parameter/optimizer leaf."""
     shape = getattr(leaf, "shape", ())
-    if ("kernel" in path and len(shape) == 2 and shape[1] >= 512
-            and "fc" in path):
-        return P(None, "model")   # TP: split Dense output columns
-    if ("bias" in path and len(shape) == 1 and shape[0] >= 512
-            and "fc" in path):
+    if "kernel" in path:
+        if len(shape) == 2 and shape[1] >= 128 and "fc" in path:
+            return P(None, "model")   # TP: split Dense output columns
+        if len(shape) == 4 and shape[3] >= 128:
+            return P(None, None, None, "model")  # TP: conv output channels
+    # per-channel vectors riding a sharded channel dim: conv/Dense biases,
+    # BatchNorm scale/bias and running mean/var (same rule shards the Adam
+    # mu/nu mirrors because the tree structure is identical)
+    if (len(shape) == 1 and shape[0] >= 128
+            and any(t in path for t in ("bias", "scale", "mean", "var"))):
         return P("model")
     return P()                     # replicated
 

@@ -126,6 +126,16 @@ class TestParallelTrain:
         new_state, metrics = jitted(sstate, *b)
         assert np.isfinite(float(metrics["total"]))
         assert mesh.shape["data"] * mesh.shape["model"] == 8
+        # TP must engage on BOTH the wide Dense heads and the conv trunk
+        # (output channels over 'model'; parallel/sharding.py:_leaf_spec)
+        if mesh.shape["model"] > 1:
+            fc = new_state.params["regress_fc"]["fc0"]["kernel"]
+            cv = new_state.params["stage1"]["layer2_0"]["conv1"]["kernel"]
+            bn = new_state.batch_stats["stage1"]["layer2_0"]["bn1"]["mean"]
+            for leaf, tag in ((fc, "fc0"), (cv, "layer2 conv1"),
+                              (bn, "layer2 bn1 mean")):
+                names = [x for x in leaf.sharding.spec if x is not None]
+                assert "model" in names, f"TP not engaged on {tag}"
 
 
 class TestThreeViewParity:
