@@ -40,6 +40,10 @@ def _add_stitcher_args(p):
                    help="composite transfer format; stitch defaults to "
                         "yuv420 (encoder-native, half the d2h bytes), "
                         "other commands to bgr")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel inference: shard frame batches over "
+                        "a mesh of this many chips (GSPMD partitions every "
+                        "phase; frame counts must divide evenly to split)")
 
 
 def _build_stitcher(args, download_default="bgr"):
@@ -53,7 +57,9 @@ def _build_stitcher(args, download_default="bgr"):
                        or download_default)
     return stitcher_from_checkpoint(ckpt_dir=args.ckpt_dir,
                                     reference_pth_dir=args.reference_pth_dir,
-                                    config=cfg, chunk=args.chunk)
+                                    config=cfg, chunk=args.chunk,
+                                    n_devices=getattr(args, "n_devices",
+                                                      None))
 
 
 def cmd_stitch(args):

@@ -72,8 +72,21 @@ class VideoStitcher:
     # 'stream' = per-chunk uploads interleaved with motion compute (right
     # choice on real PCIe hosts; measured slower through the dev tunnel)
     upload_mode: str = "bulk"
+    # optional multi-chip inference: a jax.sharding.Mesh with a 'data'
+    # axis. Frame batches are placed sharded over 'data' and the model
+    # variables replicated; GSPMD then partitions every phase (backbones,
+    # smoothing, compositing) across chips with no code changes — the
+    # reference (single-GPU, per-frame) has no counterpart. Frame counts
+    # not divisible by the axis stay replicated (correct, just not split).
+    mesh: Optional["jax.sharding.Mesh"] = None
 
     def __post_init__(self):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.spatial_vars = jax.device_put(self.spatial_vars, rep)
+            self.temporal_vars = jax.device_put(self.temporal_vars, rep)
+            self.smooth_vars = jax.device_put(self.smooth_vars, rep)
         self._motion = MotionEstimator(self.spatial_net, self.spatial_vars,
                                        self.temporal_net, self.temporal_vars,
                                        chunk=self.chunk)
@@ -115,6 +128,18 @@ class VideoStitcher:
         self._preprocess = _preprocess
         self._unpack_i420 = _unpack_i420
         self._smooth_phase = _smooth_phase
+
+    def _put_frames(self, x: np.ndarray) -> jnp.ndarray:
+        """Upload a host frame array, sharded over the mesh's 'data' axis
+        when one is configured (leading/frame dim must divide evenly)."""
+        x = np.ascontiguousarray(x, np.uint8)
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape["data"]
+        spec = (P("data", *([None] * (x.ndim - 1)))
+                if x.shape[0] % dp == 0 else P())
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def stitch_arrays(self, hi1: np.ndarray,
                       lo1: Optional[np.ndarray],
@@ -185,12 +210,12 @@ class VideoStitcher:
                 # enqueue view-1's preprocess + temporal motion right after
                 # its upload so that compute hides under view-2's transfer
                 # (the relay's h2d runs concurrently with device compute)
-                hi1_dev = jnp.asarray(np.ascontiguousarray(hi1, np.uint8))
+                hi1_dev = self._put_frames(hi1)
                 if hi1.ndim == 3:   # packed I420 [T, H*3//2, W]
                     hi1_dev = self._unpack_i420(hi1_dev)
                 lo1j = self._preprocess(hi1_dev, mh, mw)
                 tmotion1 = self._motion.temporal(lo1j)
-                hi2_dev = jnp.asarray(np.ascontiguousarray(hi2, np.uint8))
+                hi2_dev = self._put_frames(hi2)
                 timer.mark("upload", sync=hi2_dev)
                 if hi2.ndim == 3:
                     hi2_dev = self._unpack_i420(hi2_dev)
@@ -271,7 +296,8 @@ class VideoStitcher:
 def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
                   model_h: int = MODEL_H, model_w: int = MODEL_W,
                   chunk: int = 8, compute_dtype=None,
-                  smooth_dtype=None) -> VideoStitcher:
+                  smooth_dtype=None,
+                  n_devices: Optional[int] = None) -> VideoStitcher:
     """Fresh stitcher with randomly initialized models (for tests/benches;
     real use loads converted or trained checkpoints via utils.checkpoint).
 
@@ -294,6 +320,11 @@ def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
     tv = temporal.init(k2, img, img, False)
     mesh = jnp.zeros((1, WINDOW, 7, 9, 2))
     mv = smooth.init(k3, mesh, mesh, mesh, mesh)
+    dev_mesh = None
+    if n_devices and n_devices > 1:
+        # pure data-parallel inference mesh (frames over 'data')
+        from stabstitch2_tpu.parallel.sharding import make_mesh
+        dev_mesh = make_mesh(n_devices, tp=1)
     return VideoStitcher(spatial, sv, temporal, tv, smooth, mv,
                          config=config or StitchConfig(), chunk=chunk,
-                         model_h=model_h, model_w=model_w)
+                         model_h=model_h, model_w=model_w, mesh=dev_mesh)

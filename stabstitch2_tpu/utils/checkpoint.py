@@ -126,4 +126,6 @@ def stitcher_from_checkpoint(ckpt_dir: Optional[str] = None,
     return type(stitcher)(stitcher.spatial_net, sv, stitcher.temporal_net,
                           tv, stitcher.smooth_net, mv,
                           config=stitcher.config, chunk=stitcher.chunk,
-                          model_h=stitcher.model_h, model_w=stitcher.model_w)
+                          model_h=stitcher.model_h, model_w=stitcher.model_w,
+                          upload_mode=stitcher.upload_mode,
+                          mesh=stitcher.mesh)

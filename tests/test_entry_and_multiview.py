@@ -138,6 +138,32 @@ class TestParallelTrain:
                 assert "model" in names, f"TP not engaged on {tag}"
 
 
+class TestMeshInference:
+    def test_mesh_stitch_matches_single_device(self):
+        """Data-parallel inference (stitcher mesh=8 CPU devices): frames
+        shard over 'data' and GSPMD partitions every phase; the composited
+        output must match the single-device pipeline (float reductions are
+        unreordered per-frame, so uint8 frames differ by at most 1)."""
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+
+        mh, mw = 128, 160
+        T = 8  # divisible by the 8-device data axis
+        v1, v2 = make_two_view_clip(num_frames=T, height=mh, width=mw,
+                                    seed=23)
+        cfg = StitchConfig(canvas_bucket=32)
+        ref = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                            config=cfg).stitch_arrays(v1, None, v2, None)
+        dp = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=cfg, n_devices=8)
+        assert dp.mesh is not None and dp.mesh.shape["data"] == 8
+        got = dp.stitch_arrays(v1, None, v2, None)
+        assert got.frames.shape == ref.frames.shape
+        diff = np.abs(got.frames.astype(np.int16)
+                      - ref.frames.astype(np.int16))
+        assert diff.max() <= 1, f"max uint8 delta {diff.max()}"
+
+
 class TestThreeViewParity:
     def test_junction_algebra_matches_reference(self, goldens):
         """chain_meshes vs the reference junction algebra run verbatim
