@@ -6,9 +6,11 @@ video, and even sizes the output canvas from ALL frames' meshes
 (test_online_ssd.py:106-120, non-causal). This module provides the real
 streaming deployment mode:
 
-- per-frame jitted steps (spatial pair, temporal features with a cached
-  previous-frame feature like temporal_network.py:129-146, transport,
-  single-window smooth, single-frame composite);
+- ONE fused jitted step per frame (preprocess, spatial pair, temporal
+  features with a cached previous-frame feature like
+  temporal_network.py:129-146, transport, window roll, full-window smooth),
+  plus one composite dispatch — the per-frame latency through a remote
+  tunnel is dispatch-round-trip-bound, so the step count is the latency;
 - 6-frame latency: frame t's stabilized panorama is emitted once window
   [t-6, t] is full (frames 0..5 are emitted together with frame 6);
 - a CAUSAL canvas: fixed from the first window's mesh extents times a
@@ -53,9 +55,16 @@ from stabstitch2_tpu.pipeline.compositor import (
 class OnlineStitcher:
     """Streaming two-view stitcher with a 6-frame emission latency."""
 
-    def __init__(self, stitcher, canvas_margin: float = 1.25):
+    def __init__(self, stitcher, canvas_margin: float = 1.25,
+                 emit_format: str = "bgr"):
+        """emit_format: 'bgr' returns [oh, ow, 3] uint8 frames; 'i420'
+        returns packed 4:2:0 [oh*3//2, ow] uint8 (encoder-native, half the
+        device->host bytes — the right choice when the consumer is a video
+        encoder and the chip link is the latency floor)."""
+        assert emit_format in ("bgr", "i420"), emit_format
         self.s = stitcher
         self.canvas_margin = canvas_margin
+        self.emit_format = emit_format
         self.cfg: StitchConfig = stitcher.config
         mh, mw = stitcher.model_h, stitcher.model_w
         self.mh, self.mw = mh, mw
@@ -63,32 +72,9 @@ class OnlineStitcher:
         net_s, net_t, net_m = (stitcher.spatial_net, stitcher.temporal_net,
                                stitcher.smooth_net)
 
-        @jax.jit
-        def _prep(hi_u8):
-            x = hi_u8.astype(jnp.float32)
-            if hi_u8.shape[1] != mh or hi_u8.shape[2] != mw:
-                x = jax.image.resize(x, (x.shape[0], mh, mw, 3), "bilinear")
-            return x / 127.5 - 1.0
-
-        @jax.jit
-        def _spatial(vars_, f1, f2):
-            off, mref, mtgt = net_s.apply(vars_, f1, f2, False)
-            out = spatial_motions(off, mref, mtgt, mh, mw)
-            return out["motion1"][0], out["motion2"][0]
-
-        @jax.jit
-        def _features(vars_, f):
-            return net_t.apply(vars_, f, False, method=_TN.features)
-
-        @jax.jit
-        def _tmotion(vars_, fp, fn):
-            return net_t.apply(vars_, fp, fn,
-                               method=_TN.motion_from_features)[0]
-
         rigid = rigid_mesh(mh, mw)
         norm_rigid_pts = mesh_points(normalize_mesh(rigid, mh, mw))
 
-        @jax.jit
         def _transport(tmotion, smesh_prev, smesh_cur):
             tgt = mesh_points(normalize_mesh(smesh_prev, mh, mw))[None]
             Tc = tps_params_shared_source(norm_rigid_pts, tgt)
@@ -100,31 +86,67 @@ class OnlineStitcher:
             return denormalize_mesh(out, mh, mw) - smesh_cur
 
         @jax.jit
-        def _smooth(vars_, smesh1, smesh2, ts1, ts2):
-            raw = net_m.apply(vars_, smesh1[None], smesh2[None], ts1[None],
-                              ts2[None])
+        def _step(svars, tvars, mvars, hi_pair_u8, prev_feat, prev_smesh1,
+                  prev_smesh2, buf_smesh1, buf_smesh2, buf_ts1, buf_ts2,
+                  first):
+            """One streaming frame, fused: the whole motion+smooth chain is
+            a single device program so a push costs one dispatch round trip
+            (plus the composite), not ~10."""
+            lo = hi_pair_u8.astype(jnp.float32)
+            if hi_pair_u8.shape[1] != mh or hi_pair_u8.shape[2] != mw:
+                lo = jax.image.resize(lo, (2, mh, mw, 3), "bilinear")
+            lo = lo / 127.5 - 1.0
+            f1, f2 = lo[0:1], lo[1:2]
+
+            off, mref, mtgt = net_s.apply(svars, f1, f2, False)
+            sp = spatial_motions(off, mref, mtgt, mh, mw)
+            smesh1 = rigid + sp["motion1"][0]
+            smesh2 = rigid + sp["motion2"][0]
+
+            feat = net_t.apply(tvars, lo, False, method=_TN.features)
+            tm1 = net_t.apply(tvars, prev_feat[0:1], feat[0:1],
+                              method=_TN.motion_from_features)[0]
+            tm2 = net_t.apply(tvars, prev_feat[1:2], feat[1:2],
+                              method=_TN.motion_from_features)[0]
+            # first frame has no predecessor: zero trajectory (the transport
+            # is computed anyway — prev_smesh inits to rigid, non-degenerate)
+            ts1 = jnp.where(first, 0.0, _transport(tm1, prev_smesh1, smesh1))
+            ts2 = jnp.where(first, 0.0, _transport(tm2, prev_smesh2, smesh2))
+
+            buf_smesh1 = jnp.concatenate([buf_smesh1[1:], smesh1[None]])
+            buf_smesh2 = jnp.concatenate([buf_smesh2[1:], smesh2[None]])
+            buf_ts1 = jnp.concatenate([buf_ts1[1:], ts1[None]])
+            buf_ts2 = jnp.concatenate([buf_ts2[1:], ts2[None]])
+
+            # window's first trajectory is zeroed per window (reference
+            # semantics: each window re-bases at its first frame)
+            raw = net_m.apply(mvars, buf_smesh1[None], buf_smesh2[None],
+                              buf_ts1.at[0].set(0.0)[None],
+                              buf_ts2.at[0].set(0.0)[None])
             d = smooth_outputs(raw)
-            return d["smooth_mesh1"][0], d["smooth_mesh2"][0]
+            return (feat, smesh1, smesh2, buf_smesh1, buf_smesh2, buf_ts1,
+                    buf_ts2, d["smooth_mesh1"][0], d["smooth_mesh2"][0])
 
-        self._prep = _prep
-        self._spatial = _spatial
-        self._features = _features
-        self._tmotion = _tmotion
-        self._transport = _transport
-        self._smooth = _smooth
-
+        self._step = _step
         self._rigid = rigid
+        # features are stage1 output: [2, H/8, W/8, 128] in the temporal
+        # net's compute dtype (bf16 by default) — the zero init must match
+        # or the steady-state signature would retrace
+        self._feat_shape = (2, mh // 8, mw // 8, 128)
+        self._feat_dtype = getattr(net_t, "dtype", jnp.float32)
         self.reset()
 
     def reset(self):
         self._t = 0
-        self._prev_feat = None
-        self._prev_smesh1 = None
-        self._prev_smesh2 = None
-        self._smesh1: List = []
-        self._smesh2: List = []
-        self._ts1: List = []
-        self._ts2: List = []
+        self._prev_feat = jnp.zeros(self._feat_shape, self._feat_dtype)
+        self._prev_smesh1 = self._rigid
+        self._prev_smesh2 = self._rigid
+        gh1, gw1 = self._rigid.shape[0], self._rigid.shape[1]
+        zbuf = jnp.zeros((WINDOW, gh1, gw1, 2), jnp.float32)
+        self._buf_smesh1 = zbuf
+        self._buf_smesh2 = zbuf
+        self._buf_ts1 = zbuf
+        self._buf_ts2 = zbuf
         self._pending_hi: List = []
         self.canvas: Optional[Canvas] = None
         self._offset = None
@@ -151,14 +173,6 @@ class OnlineStitcher:
         self._offset = jnp.asarray([self.canvas.x_min, self.canvas.y_min],
                                    jnp.float32)
 
-    def _fits(self, m1, m2) -> bool:
-        c = self.canvas
-        m = np.asarray(jnp.stack([m1, m2]))
-        return bool(m[..., 0].min() >= c.x_min
-                    and m[..., 0].max() <= c.x_min + c.out_w
-                    and m[..., 1].min() >= c.y_min
-                    and m[..., 1].max() <= c.y_min + c.out_h)
-
     def _reanchor(self, m1, m2):
         """Camera drifted beyond the canvas: re-center on current content.
 
@@ -184,75 +198,97 @@ class OnlineStitcher:
             self._establish_canvas(m1, m2, 0, 0)
         self.reanchor_frames.append(self._t)
 
+    def _enqueue_composite(self, hi1, hi2, m1, m2):
+        """Dispatch one frame's composite against the CURRENT canvas and
+        return (cropped device planes, device extents) without any host
+        sync — the caller fetches both together (one round trip)."""
+        c = self.canvas
+        fused = _composite_chunk(
+            jnp.asarray(hi1)[None], jnp.asarray(hi2)[None], m1, m2,
+            self._offset, (c.pad_h, c.pad_w),
+            self.cfg.warp_mode, self.cfg.fusion_mode,
+            grid_span=(c.out_h, c.out_w),
+            out_format="yuv420" if self.emit_format == "i420" else "bgr")
+        oh, ow = self._emit_hw()
+        if self.emit_format == "i420":
+            yp, up, vp = fused
+            planes = (yp[0, :oh, :ow], up[0, :oh // 2, :ow // 2],
+                      vp[0, :oh // 2, :ow // 2])
+        else:
+            planes = (fused[0, :oh, :ow],)
+        m = jnp.stack([m1, m2])
+        ext = jnp.stack([m[..., 0].min(), m[..., 0].max(),
+                         m[..., 1].min(), m[..., 1].max()])
+        return planes, ext
+
+    def _emit_hw(self):
+        c = self.canvas
+        if self.emit_format == "i420":  # 4:2:0 needs even dims
+            return c.out_h // 2 * 2, c.out_w // 2 * 2
+        return c.out_h, c.out_w
+
+    def _pack(self, planes_host) -> np.ndarray:
+        if self.emit_format == "i420":
+            y, u, v = planes_host
+            oh, ow = y.shape
+            return np.concatenate(
+                [y.reshape(-1), u.reshape(-1), v.reshape(-1)]
+            ).reshape(oh * 3 // 2, ow)
+        return np.asarray(planes_host[0])
+
+    def _ext_fits(self, ext) -> bool:
+        c = self.canvas
+        return bool(ext[0] >= c.x_min and ext[1] <= c.x_min + c.out_w
+                    and ext[2] >= c.y_min and ext[3] <= c.y_min + c.out_h)
+
     def _composite_one(self, hi1, hi2, mesh1, mesh2):
         H, W = hi1.shape[0], hi1.shape[1]
         m1 = scale_meshes(mesh1[None], H, W, self.mh, self.mw)
         m2 = scale_meshes(mesh2[None], H, W, self.mh, self.mw)
         if self.canvas is None:
             self._establish_canvas(m1, m2, H, W)
-        elif not self._fits(m1, m2):
+        # OPTIMISTIC composite: dispatch against the current anchor with no
+        # host sync, fetch frame + extents in one round trip, and only when
+        # the extents show drift (rare) re-anchor and recomposite that frame
+        planes, ext = self._enqueue_composite(hi1, hi2, m1, m2)
+        planes_h, extv = jax.device_get((planes, ext))
+        if not self._ext_fits(extv):
             self._reanchor(m1, m2)
-        fused = _composite_chunk(
-            jnp.asarray(hi1)[None], jnp.asarray(hi2)[None], m1, m2,
-            self._offset, (self.canvas.pad_h, self.canvas.pad_w),
-            self.cfg.warp_mode, self.cfg.fusion_mode,
-            grid_span=(self.canvas.out_h, self.canvas.out_w))
-        return np.asarray(fused[0, :self.canvas.out_h, :self.canvas.out_w])
+            planes, _ = self._enqueue_composite(hi1, hi2, m1, m2)
+            planes_h = jax.device_get(planes)
+        return self._pack(planes_h)
 
     def push(self, hi1: np.ndarray, hi2: np.ndarray) -> List[np.ndarray]:
         """Feed one synchronized frame pair (uint8 HWC). Returns the list of
         panorama frames that became available (possibly empty)."""
         s = self.s
-        lo = self._prep(jnp.stack([jnp.asarray(hi1, jnp.uint8),
-                                   jnp.asarray(hi2, jnp.uint8)]))
-        f1, f2 = lo[0:1], lo[1:2]
+        hi_pair = jnp.stack([jnp.asarray(hi1, jnp.uint8),
+                             jnp.asarray(hi2, jnp.uint8)])
+        (self._prev_feat, self._prev_smesh1, self._prev_smesh2,
+         self._buf_smesh1, self._buf_smesh2, self._buf_ts1, self._buf_ts2,
+         sm1w, sm2w) = self._step(
+            s.spatial_vars, s.temporal_vars, s.smooth_vars, hi_pair,
+            self._prev_feat, self._prev_smesh1, self._prev_smesh2,
+            self._buf_smesh1, self._buf_smesh2, self._buf_ts1, self._buf_ts2,
+            jnp.asarray(self._t == 0))
 
-        sm1, sm2 = self._spatial(s.spatial_vars, f1, f2)
-        smesh1 = self._rigid + sm1
-        smesh2 = self._rigid + sm2
+        # current window's smoothed meshes [WINDOW, GH+1, GW+1, 2] (model
+        # res) — valid once the window is full; exposed for consumers that
+        # want the stabilized geometry (metrics, custom compositors)
+        self.window_smooth = (sm1w, sm2w)
 
-        feat = self._features(s.temporal_vars, lo)
-        if self._prev_feat is None:
-            ts1 = jnp.zeros_like(smesh1)
-            ts2 = jnp.zeros_like(smesh2)
-        else:
-            tm1 = self._tmotion(s.temporal_vars, self._prev_feat[0:1],
-                                feat[0:1])
-            tm2 = self._tmotion(s.temporal_vars, self._prev_feat[1:2],
-                                feat[1:2])
-            ts1 = self._transport(tm1, self._prev_smesh1, smesh1)
-            ts2 = self._transport(tm2, self._prev_smesh2, smesh2)
-        self._prev_feat = feat
-        self._prev_smesh1 = smesh1
-        self._prev_smesh2 = smesh2
-
-        self._smesh1.append(smesh1)
-        self._smesh2.append(smesh2)
-        self._ts1.append(ts1)
-        self._ts2.append(ts2)
         self._pending_hi.append((hi1, hi2))
-        if len(self._smesh1) > WINDOW:
-            for buf in (self._smesh1, self._smesh2, self._ts1, self._ts2):
-                buf.pop(0)
-
         self._t += 1
-        if len(self._smesh1) < WINDOW:
+        if self._t < WINDOW:
             return []
-
-        # window full: smooth (first element's trajectory zeroed per window)
-        ts1w = jnp.stack(self._ts1).at[0].set(0.0)
-        ts2w = jnp.stack(self._ts2).at[0].set(0.0)
-        sm1w, sm2w = self._smooth(s.smooth_vars, jnp.stack(self._smesh1),
-                                  jnp.stack(self._smesh2), ts1w, ts2w)
 
         outs = []
         if self._t == WINDOW:  # first window: emit all 7 frames
             for k in range(WINDOW):
                 h1, h2 = self._pending_hi[k]
                 outs.append(self._composite_one(h1, h2, sm1w[k], sm2w[k]))
-            self._pending_hi = []
         else:                   # steady state: emit the window's last frame
             h1, h2 = self._pending_hi[-1]
             outs.append(self._composite_one(h1, h2, sm1w[-1], sm2w[-1]))
-            self._pending_hi = []
+        self._pending_hi = []
         return outs
