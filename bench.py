@@ -97,7 +97,10 @@ def main():
             in_flight = pending
         collect(in_flight)
         total_fps = num_videos * frames / (time.time() - t0)
-        steady_fps = done_steady / (time.time() - t_first)
+        # a steady state needs >= 2 videos; with one clip fall back to the
+        # whole-pipeline rate instead of reporting 0/epsilon
+        steady_fps = (done_steady / (time.time() - t_first)
+                      if done_steady else total_fps)
         return steady_fps, total_fps
 
     passes = [sustained_pass() for _ in range(2)]

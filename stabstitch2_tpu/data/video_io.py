@@ -84,6 +84,19 @@ def bgr_to_i420(frames: np.ndarray) -> np.ndarray:
                      for t in range(T)])
 
 
+def pack_i420_host(y: np.ndarray, u: np.ndarray, v: np.ndarray
+                   ) -> np.ndarray:
+    """Host twin of ops.yuv.pack_i420: (Y [..,H,W], U/V [..,H/2,W/2]) ->
+    packed I420 [.., H*3//2, W]. Planes are contiguous (cv2 layout); works
+    batched ([T,H,W]) or single-frame ([H,W])."""
+    y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+    lead = y.shape[:-2]
+    H, W = y.shape[-2:]
+    flat = np.concatenate([y.reshape(*lead, -1), u.reshape(*lead, -1),
+                           v.reshape(*lead, -1)], axis=-1)
+    return flat.reshape(*lead, H * 3 // 2, W)
+
+
 def write_video(path: str, frames: np.ndarray, fps: int = 30,
                 frame_format: str = "bgr") -> None:
     """Encode frames as mp4 (reference: fourcc mp4v).

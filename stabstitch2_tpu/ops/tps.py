@@ -156,6 +156,11 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
     r^2*log(r^2) transcendental count by s^2 — the dominant cost of the
     full-canvas composite warp on TPU.
     """
+    if use_pallas and coord_stride > 1:
+        raise ValueError(
+            "use_pallas=True and coord_stride>1 conflict: the fused Pallas "
+            "kernel evaluates the spline at full resolution, the stride "
+            "path on a coarse lattice — pick one")
     if use_pallas is None:
         use_pallas = False
     out_h, out_w = out_size
@@ -226,6 +231,40 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
     else:
         raise ValueError(f"unknown warp mode {mode!r}")
     return sampled.reshape(B, out_h, out_w, im.shape[-1])
+
+
+def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
+                       target: jnp.ndarray, out_size: Tuple[int, int],
+                       mode: str = "NORMAL",
+                       T: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].
+
+    The mask equals warping a concatenated ones-channel (the reference's
+    idiom) but is computed arithmetically from the sample coordinates —
+    4-channel gathers hit a pathologically slow XLA lowering on TPU
+    (BENCHMARKS.md 'TPU kernel findings'), so keep images 3-channel."""
+    from stabstitch2_tpu.ops.interp import (
+        bilinear_mask,
+        grid_sample_mask_align_corners,
+    )
+
+    B = im.shape[0]
+    H, W = im.shape[1], im.shape[2]
+    out_h, out_w = out_size
+    if T is None:
+        T = tps_params(source, target)
+    x_s, y_s = tps_sample_coords(T, source, out_size)
+    if mode == "NORMAL":
+        sampled = bilinear_sample(im, x_s, y_s)
+        m = bilinear_mask(H, W, x_s, y_s)
+    elif mode == "FAST":
+        sampled = grid_sample_align_corners(im, x_s, y_s)
+        m = grid_sample_mask_align_corners(H, W, x_s, y_s)
+    else:
+        raise ValueError(f"unknown warp mode {mode!r}")
+    return (sampled.reshape(B, out_h, out_w, im.shape[-1]),
+            m.reshape(B, out_h, out_w))
 
 
 def tps_transform_points(points: jnp.ndarray, source: jnp.ndarray,

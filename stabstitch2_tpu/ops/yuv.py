@@ -57,10 +57,14 @@ def i420_to_bgr(packed: jnp.ndarray) -> jnp.ndarray:
     """
     B, H15, W = packed.shape
     H = H15 * 2 // 3
-    x = packed.astype(jnp.float32)
-    y = x[:, :H, :]
-    u = x[:, H:H + H // 4, :].reshape(B, H // 2, W // 2)
-    v = x[:, H + H // 4:, :].reshape(B, H // 2, W // 2)
+    # planes are CONTIGUOUS in the packed buffer (cv2 I420 layout); split by
+    # element count, not rows — when H % 4 != 0 the U plane ends mid-row and
+    # a row-sliced split would silently misalign U/V (H=350: 41760 vs 42000)
+    flat = packed.astype(jnp.float32).reshape(B, -1)
+    n = H * W
+    y = flat[:, :n].reshape(B, H, W)
+    u = flat[:, n:n + n // 4].reshape(B, H // 2, W // 2)
+    v = flat[:, n + n // 4:].reshape(B, H // 2, W // 2)
     up = lambda c: jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
     u = up(u) - 128.0
     v = up(v) - 128.0

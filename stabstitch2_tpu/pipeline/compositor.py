@@ -119,8 +119,11 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     # hits a pathologically slow XLA lowering on TPU (measured ~70-120 ms
     # vs ~0.1 ms for 3 channels per 16-image chunk).
     T = tps_params(source, target)
+    # coord_stride > 1 takes the coarse-lattice path; the fused Pallas
+    # kernel is the full-resolution alternative (only one applies)
     x_s, y_s = tps_sample_coords(T, source, (oh, ow),
-                                 use_pallas=pallas_available(),
+                                 use_pallas=(pallas_available()
+                                             if coord_stride == 1 else None),
                                  grid_span=(span_h, span_w),
                                  coord_stride=coord_stride)
     if warp_mode == "NORMAL":
@@ -167,9 +170,14 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
     m1 = scale_meshes(smooth_mesh1, H, W, *model_size)
     m2 = scale_meshes(smooth_mesh2, H, W, *model_size)
     canvas = compute_canvas(m1, m2, config.canvas_bucket)
-    # even output dims for 4:2:0 (mp4 encoders require them anyway)
+    # even output dims for 4:2:0 (mp4 encoders require them anyway); the
+    # warp's normalization span keeps the TRUE extents, but the returned
+    # Canvas must describe the frames actually emitted
+    grid_span = (canvas.out_h, canvas.out_w)
     oh = canvas.out_h if out_format == "bgr" else canvas.out_h // 2 * 2
     ow = canvas.out_w if out_format == "bgr" else canvas.out_w // 2 * 2
+    if (oh, ow) != (canvas.out_h, canvas.out_w):
+        canvas = dataclasses.replace(canvas, out_h=oh, out_w=ow)
     if canvas.pad_h > config.max_canvas_h or canvas.pad_w > config.max_canvas_w:
         raise ValueError(
             f"canvas {canvas.pad_h}x{canvas.pad_w} exceeds configured max "
@@ -198,7 +206,7 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
         fused = _composite_chunk(i1, i2, mm1, mm2, offset,
                                  (canvas.pad_h, canvas.pad_w),
                                  config.warp_mode, config.fusion_mode,
-                                 grid_span=(canvas.out_h, canvas.out_w),
+                                 grid_span=grid_span,
                                  out_format=out_format,
                                  coord_stride=getattr(config, "coord_stride",
                                                       1))
@@ -231,12 +239,10 @@ def composite_finish(state, timer=None) -> Tuple[np.ndarray, Canvas]:
     if timer is not None:
         timer.mark("download")
     if out_format == "yuv420":
-        # assemble packed I420 [T, oh*3//2, ow] on host (planar concat)
+        from stabstitch2_tpu.data.video_io import pack_i420_host
+
         frames = np.concatenate(
-            [np.concatenate([y.reshape(y.shape[0], -1),
-                             u.reshape(u.shape[0], -1),
-                             v.reshape(v.shape[0], -1)], axis=1)
-             for y, u, v in outs], axis=0).reshape(-1, oh * 3 // 2, ow)
+            [pack_i420_host(y, u, v) for y, u, v in outs], axis=0)
         return frames, canvas
     return np.concatenate([o[0] for o in outs], axis=0), canvas
 

@@ -229,11 +229,9 @@ class OnlineStitcher:
 
     def _pack(self, planes_host) -> np.ndarray:
         if self.emit_format == "i420":
-            y, u, v = planes_host
-            oh, ow = y.shape
-            return np.concatenate(
-                [y.reshape(-1), u.reshape(-1), v.reshape(-1)]
-            ).reshape(oh * 3 // 2, ow)
+            from stabstitch2_tpu.data.video_io import pack_i420_host
+
+            return pack_i420_host(*planes_host)
         return np.asarray(planes_host[0])
 
     def _ext_fits(self, ext) -> bool:

@@ -193,6 +193,10 @@ class VideoStitcher:
             chunks1 = upload_chunks(h1)
             chunks2 = upload_chunks(h2)
             timer.mark("upload", sync=chunks1[-1])
+            if hi1.ndim == 3:  # packed I420 chunks -> uint8 BGR on device
+                chunks1 = [self._unpack_i420(c) for c in chunks1]
+            if hi2.ndim == 3:
+                chunks2 = [self._unpack_i420(c) for c in chunks2]
             lo1_chunks = [self._preprocess(x, mh, mw) for x in chunks1]
             lo2_chunks = [self._preprocess(x, mh, mw) for x in chunks2]
             smotion1, smotion2 = self._motion.spatial_chunks(
@@ -221,7 +225,11 @@ class VideoStitcher:
                     hi2_dev = self._unpack_i420(hi2_dev)
                 lo2j = self._preprocess(hi2_dev, mh, mw)
             else:
-                hi1_dev, hi2_dev = hi1, hi2
+                hi1_dev, hi2_dev = jnp.asarray(hi1), jnp.asarray(hi2)
+                if hi1_dev.ndim == 3:  # packed I420 [T, H*3//2, W]
+                    hi1_dev = self._unpack_i420(hi1_dev)
+                if hi2_dev.ndim == 3:
+                    hi2_dev = self._unpack_i420(hi2_dev)
                 lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
                 timer.mark("upload", sync=(lo1j, lo2j))
                 tmotion1 = self._motion.temporal(lo1j)

@@ -27,7 +27,11 @@ from stabstitch2_tpu.ops.mesh import (
     points_mesh,
     rigid_mesh,
 )
-from stabstitch2_tpu.ops.tps import tps_params, tps_transform_points, tps_warp
+from stabstitch2_tpu.ops.tps import (
+    tps_params,
+    tps_transform_points,
+    tps_warp_with_mask,
+)
 from stabstitch2_tpu.pipeline.compositor import compute_canvas, scale_meshes
 from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
 from stabstitch2_tpu.pipeline.transport import stitched_meshes, transport_both_views
@@ -120,23 +124,23 @@ def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
         warped = []
         for img, mesh in zip(images, meshes):
             im = jnp.asarray(img[s:e], jnp.float32)
-            im = jnp.concatenate([im, jnp.ones_like(im[..., :1])], -1)
             src = mesh_points(normalize_mesh(mesh[s:e] - offset, oh, ow))
             tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-            warped.append(tps_warp(im, src, tgt, (oh, ow),
-                                   mode=config.warp_mode))
+            # 3-channel gather + arithmetic coverage mask: warping a
+            # concatenated ones-plane is identical math but a 4-channel
+            # gather hits a ~1000x slower XLA lowering on TPU (CLAUDE.md)
+            warped.append(tps_warp_with_mask(im, src, tgt, (oh, ow),
+                                             mode=config.warp_mode))
         # cascaded fusion left -> right (reference :486-503)
-        acc = warped[0][..., :3]
-        acc_mask = warped[0][..., 3]
-        for w in warped[1:]:
+        acc, acc_mask = warped[0]
+        for w, w_mask in warped[1:]:
             if config.fusion_mode == "AVERAGE":
-                acc = average_fusion(acc, w[..., :3])
+                acc = average_fusion(acc, w)
             else:
                 import jax
 
-                acc = jax.vmap(linear_fusion)(acc, w[..., :3], acc_mask,
-                                              w[..., 3])
-            acc_mask = acc_mask + w[..., 3] - acc_mask * w[..., 3]
+                acc = jax.vmap(linear_fusion)(acc, w, acc_mask, w_mask)
+            acc_mask = acc_mask + w_mask - acc_mask * w_mask
         # clip+cast on device (average_fusion can overshoot when the two
         # warped values nearly cancel — same formula as the reference,
         # test_online_ssd.py:142); uint8 also makes the download 4x smaller

@@ -169,6 +169,9 @@ class TestYUV:
                                         model_size=(H, W))
         oh, ow = canvas.out_h // 2 * 2, canvas.out_w // 2 * 2
         assert i420.shape == (T, oh * 3 // 2, ow)
+        # the returned Canvas must describe the frames actually emitted
+        # (4:2:0 rounds odd extents down — regression: stale odd out_h/out_w)
+        assert (canvas2.out_h, canvas2.out_w) == (oh, ow)
         for t in range(T):
             ref = cv2.cvtColor(bgr[t, :oh, :ow], cv2.COLOR_BGR2YUV_I420)
             # device converts from f32 pre-cast values, cv2 from uint8:
@@ -188,6 +191,45 @@ class TestYUV:
         mine = np.asarray(i420_to_bgr(jnp.asarray(i420[None])))[0]
         ref = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420).astype(np.float32)
         np.testing.assert_allclose(mine, ref, atol=1)
+
+    def test_i420_to_bgr_height_not_multiple_of_4(self):
+        """cv2 packs U/V planes CONTIGUOUSLY: for H % 4 != 0 the U plane
+        ends mid-row, so a row-sliced unpack misaligns chroma (regression:
+        ops/yuv.py element-count split)."""
+        import cv2
+
+        from stabstitch2_tpu.ops.yuv import i420_to_bgr
+
+        rng = np.random.default_rng(9)
+        for H, W in ((6, 8), (10, 16), (350, 64)):
+            img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+            i420 = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
+            mine = np.asarray(i420_to_bgr(jnp.asarray(i420[None])))[0]
+            ref = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420).astype(np.float32)
+            np.testing.assert_allclose(mine, ref, atol=1,
+                                       err_msg=f"H={H} W={W}")
+
+    def test_stitch_accepts_packed_i420_in_stream_and_lo_paths(self):
+        """The stitch_arrays docstring advertises packed I420 for every
+        upload mode; the stream path and the lo-provided path must unpack
+        (regression: only the bulk lo=None branch handled ndim==3)."""
+        from stabstitch2_tpu.data.video_io import bgr_to_i420
+
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=8, height=mh, width=mw,
+                                    overlap=0.6, shake_px=2.0, seed=5)
+        p1, p2 = bgr_to_i420(v1), bgr_to_i420(v2)
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        st.upload_mode = "stream"
+        r_stream = st.stitch_arrays(p1, None, p2, None)
+        assert r_stream.frames.shape[0] == 8
+        st.upload_mode = "bulk"
+        lo1 = np.asarray(v1, np.float32) / 127.5 - 1.0
+        lo2 = np.asarray(v2, np.float32) / 127.5 - 1.0
+        r_lo = st.stitch_arrays(p1, lo1, p2, lo2)
+        assert r_lo.frames.shape[0] == 8
+        assert np.isfinite(r_lo.frames.astype(np.float32)).all()
 
     def test_stitch_accepts_packed_i420_uploads(self):
         from stabstitch2_tpu.data.video_io import bgr_to_i420
