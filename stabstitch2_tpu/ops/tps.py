@@ -236,7 +236,9 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
 def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        target: jnp.ndarray, out_size: Tuple[int, int],
                        mode: str = "NORMAL",
-                       T: Optional[jnp.ndarray] = None
+                       T: Optional[jnp.ndarray] = None,
+                       grid_span: Optional[Tuple[int, int]] = None,
+                       coord_stride: int = 1
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].
 
@@ -254,7 +256,8 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     out_h, out_w = out_size
     if T is None:
         T = tps_params(source, target)
-    x_s, y_s = tps_sample_coords(T, source, out_size)
+    x_s, y_s = tps_sample_coords(T, source, out_size, grid_span=grid_span,
+                                 coord_stride=coord_stride)
     if mode == "NORMAL":
         sampled = bilinear_sample(im, x_s, y_s)
         m = bilinear_mask(H, W, x_s, y_s)

@@ -12,9 +12,11 @@ views; here the same junction rule iterates over an arbitrary chain.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,6 +108,48 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
     return views
 
 
+@functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
+                                             "fusion_mode", "grid_span",
+                                             "coord_stride"))
+def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
+                           fusion_mode, grid_span, coord_stride: int = 1):
+    """Warp+fuse one chunk of an N-view chain as ONE device program.
+
+    imgs: [V, B, H, W, 3] uint8; meshes: [V, B, GH+1, GW+1, 2] hi-res.
+    All V*B warps run as a single batched gather (the 2-view compositor's
+    design, generalized); the cascade fusion loops over the STATIC view
+    axis. Returns [B, oh, ow, 3] uint8."""
+    V, B, H, W, _ = imgs.shape
+    oh, ow = out_size
+    span_h, span_w = grid_span or out_size
+    im = imgs.reshape(V * B, H, W, 3).astype(jnp.float32)
+    rigid = rigid_mesh(H, W, dtype=jnp.float32)
+    norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
+    src = mesh_points(normalize_mesh(
+        meshes.reshape(V * B, *meshes.shape[2:]) - offset, span_h, span_w))
+    tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
+    # 3-channel gather + arithmetic coverage mask: warping a concatenated
+    # ones-plane is identical math but a 4-channel gather hits a ~1000x
+    # slower XLA lowering on TPU (CLAUDE.md)
+    warped, masks = tps_warp_with_mask(im, src, tgt, (oh, ow),
+                                       mode=warp_mode,
+                                       coord_stride=coord_stride)
+    warped = warped.reshape(V, B, oh, ow, 3)
+    masks = masks.reshape(V, B, oh, ow)
+    # cascaded fusion left -> right (reference :486-503)
+    acc, acc_mask = warped[0], masks[0]
+    for k in range(1, V):
+        if fusion_mode == "AVERAGE":
+            acc = average_fusion(acc, warped[k])
+        else:
+            acc = jax.vmap(linear_fusion)(acc, warped[k], acc_mask, masks[k])
+        acc_mask = acc_mask + masks[k] - acc_mask * masks[k]
+    # clip+cast on device (average_fusion can overshoot when two warped
+    # values nearly cancel — same formula as the reference,
+    # test_online_ssd.py:142); uint8 also makes the download 4x smaller
+    return jnp.clip(acc, 0.0, 255.0).astype(jnp.uint8)
+
+
 def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
                     config, chunk: int = 8) -> np.ndarray:
     """Warp every view to the global canvas and cascade the fusion."""
@@ -115,37 +159,28 @@ def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
     offset = jnp.asarray([canvas.x_min, canvas.y_min], jnp.float32)
     oh, ow = canvas.pad_h, canvas.pad_w
 
-    rigid = rigid_mesh(H, W, dtype=jnp.float32)
-    norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
-
+    # images stay on host; only one chunk x V views lives in HBM at a time
+    host = [np.ascontiguousarray(img, np.uint8) for img in images]
+    mesh_all = jnp.stack(meshes)
     outs = []
     for s in range(0, T, chunk):
         e = min(s + chunk, T)
-        warped = []
-        for img, mesh in zip(images, meshes):
-            im = jnp.asarray(img[s:e], jnp.float32)
-            src = mesh_points(normalize_mesh(mesh[s:e] - offset, oh, ow))
-            tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-            # 3-channel gather + arithmetic coverage mask: warping a
-            # concatenated ones-plane is identical math but a 4-channel
-            # gather hits a ~1000x slower XLA lowering on TPU (CLAUDE.md)
-            warped.append(tps_warp_with_mask(im, src, tgt, (oh, ow),
-                                             mode=config.warp_mode))
-        # cascaded fusion left -> right (reference :486-503)
-        acc, acc_mask = warped[0]
-        for w, w_mask in warped[1:]:
-            if config.fusion_mode == "AVERAGE":
-                acc = average_fusion(acc, w)
-            else:
-                import jax
-
-                acc = jax.vmap(linear_fusion)(acc, w, acc_mask, w_mask)
-            acc_mask = acc_mask + w_mask - acc_mask * w_mask
-        # clip+cast on device (average_fusion can overshoot when the two
-        # warped values nearly cancel — same formula as the reference,
-        # test_online_ssd.py:142); uint8 also makes the download 4x smaller
-        out = jnp.clip(acc[:, :canvas.out_h, :canvas.out_w], 0.0, 255.0)
-        outs.append(np.asarray(out.astype(jnp.uint8)))
+        pad = chunk - (e - s)
+        iv_np = np.stack([h[s:e] for h in host])
+        if pad:  # keep one compiled program per canvas bucket
+            iv_np = np.concatenate(
+                [iv_np, np.repeat(iv_np[:, -1:], pad, axis=1)], axis=1)
+        iv = jnp.asarray(iv_np)
+        mv = mesh_all[:, s:e]
+        if pad:
+            mv = jnp.concatenate([mv, jnp.tile(mv[:, -1:],
+                                               (1, pad, 1, 1, 1))], 1)
+        fused = _composite_chain_chunk(
+            iv, mv, offset, (oh, ow), config.warp_mode, config.fusion_mode,
+            grid_span=(oh, ow),
+            coord_stride=getattr(config, "coord_stride", 1))
+        outs.append(np.asarray(
+            fused[:e - s, :canvas.out_h, :canvas.out_w]))
     return np.concatenate(outs, 0)
 
 
