@@ -238,6 +238,7 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        mode: str = "NORMAL",
                        T: Optional[jnp.ndarray] = None,
                        grid_span: Optional[Tuple[int, int]] = None,
+                       use_pallas: Optional[bool] = None,
                        coord_stride: int = 1
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].
@@ -257,6 +258,7 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     if T is None:
         T = tps_params(source, target)
     x_s, y_s = tps_sample_coords(T, source, out_size, grid_span=grid_span,
+                                 use_pallas=use_pallas,
                                  coord_stride=coord_stride)
     if mode == "NORMAL":
         sampled = bilinear_sample(im, x_s, y_s)

@@ -129,10 +129,11 @@ class OnlineStitcher:
 
         self._step = _step
         self._rigid = rigid
-        # features are stage1 output: [2, H/8, W/8, 128] in the temporal
-        # net's compute dtype (bf16 by default) — the zero init must match
-        # or the steady-state signature would retrace
-        self._feat_shape = (2, mh // 8, mw // 8, 128)
+        # features are stage1 output: [2, ceil(H/8), ceil(W/8), 128] in the
+        # temporal net's compute dtype (bf16 by default) — the zero init
+        # must match shape AND dtype or the steady state would retrace
+        # (each stride-2 stage is a ceil-halving, so ceil(x/8) overall)
+        self._feat_shape = (2, -(-mh // 8), -(-mw // 8), 128)
         self._feat_dtype = getattr(net_t, "dtype", jnp.float32)
         self.reset()
 
@@ -150,6 +151,8 @@ class OnlineStitcher:
         self._pending_hi: List = []
         self.canvas: Optional[Canvas] = None
         self._offset = None
+        # current window's smoothed meshes — valid once the window is full
+        self.window_smooth = None
         # frame indices where the causal canvas was re-anchored (camera
         # drifted beyond the first-window extents + margin)
         self.reanchor_frames: List[int] = []
@@ -165,6 +168,11 @@ class OnlineStitcher:
         bucket = self.cfg.canvas_bucket
         out_w = int(np.ceil(2 * half_w))
         out_h = int(np.ceil(2 * half_h))
+        if self.emit_format == "i420":
+            # 4:2:0 needs even dims: round UP so the Canvas describes the
+            # emitted frames exactly and no content row/col is cropped
+            out_w += out_w % 2
+            out_h += out_h % 2
         pad_w = -(-out_w // bucket) * bucket
         pad_h = -(-out_h // bucket) * bucket
         self.canvas = Canvas(out_h=out_h, out_w=out_w, pad_h=pad_h,
@@ -199,12 +207,12 @@ class OnlineStitcher:
         self.reanchor_frames.append(self._t)
 
     def _enqueue_composite(self, hi1, hi2, m1, m2):
-        """Dispatch one frame's composite against the CURRENT canvas and
-        return (cropped device planes, device extents) without any host
-        sync — the caller fetches both together (one round trip)."""
+        """Dispatch a BATCH of frames' composite against the CURRENT canvas
+        and return (cropped device planes [B, ...], device extents) without
+        any host sync — the caller fetches both together (one round trip)."""
         c = self.canvas
         fused = _composite_chunk(
-            jnp.asarray(hi1)[None], jnp.asarray(hi2)[None], m1, m2,
+            jnp.asarray(hi1), jnp.asarray(hi2), m1, m2,
             self._offset, (c.pad_h, c.pad_w),
             self.cfg.warp_mode, self.cfg.fusion_mode,
             grid_span=(c.out_h, c.out_w),
@@ -212,10 +220,10 @@ class OnlineStitcher:
         oh, ow = self._emit_hw()
         if self.emit_format == "i420":
             yp, up, vp = fused
-            planes = (yp[0, :oh, :ow], up[0, :oh // 2, :ow // 2],
-                      vp[0, :oh // 2, :ow // 2])
+            planes = (yp[:, :oh, :ow], up[:, :oh // 2, :ow // 2],
+                      vp[:, :oh // 2, :ow // 2])
         else:
-            planes = (fused[0, :oh, :ow],)
+            planes = (fused[:, :oh, :ow],)
         m = jnp.stack([m1, m2])
         ext = jnp.stack([m[..., 0].min(), m[..., 0].max(),
                          m[..., 1].min(), m[..., 1].max()])
@@ -239,22 +247,31 @@ class OnlineStitcher:
         return bool(ext[0] >= c.x_min and ext[1] <= c.x_min + c.out_w
                     and ext[2] >= c.y_min and ext[3] <= c.y_min + c.out_h)
 
-    def _composite_one(self, hi1, hi2, mesh1, mesh2):
-        H, W = hi1.shape[0], hi1.shape[1]
-        m1 = scale_meshes(mesh1[None], H, W, self.mh, self.mw)
-        m2 = scale_meshes(mesh2[None], H, W, self.mh, self.mw)
+    def _composite_many(self, his1, his2, meshes1, meshes2
+                        ) -> List[np.ndarray]:
+        """Composite a batch of frames with ONE dispatch + ONE fetch.
+
+        his*: [B, H, W, 3] uint8; meshes*: [B, GH+1, GW+1, 2] model-res.
+        OPTIMISTIC: dispatched against the current anchor with no host
+        sync; the extents ride the same device_get as the frames and only
+        actual drift (rare) re-anchors and recomposites the batch."""
+        B, H, W = his1.shape[0], his1.shape[1], his1.shape[2]
+        m1 = scale_meshes(meshes1, H, W, self.mh, self.mw)
+        m2 = scale_meshes(meshes2, H, W, self.mh, self.mw)
         if self.canvas is None:
             self._establish_canvas(m1, m2, H, W)
-        # OPTIMISTIC composite: dispatch against the current anchor with no
-        # host sync, fetch frame + extents in one round trip, and only when
-        # the extents show drift (rare) re-anchor and recomposite that frame
-        planes, ext = self._enqueue_composite(hi1, hi2, m1, m2)
+        planes, ext = self._enqueue_composite(his1, his2, m1, m2)
         planes_h, extv = jax.device_get((planes, ext))
         if not self._ext_fits(extv):
             self._reanchor(m1, m2)
-            planes, _ = self._enqueue_composite(hi1, hi2, m1, m2)
+            planes, _ = self._enqueue_composite(his1, his2, m1, m2)
             planes_h = jax.device_get(planes)
-        return self._pack(planes_h)
+        return [self._pack(tuple(p[k] for p in planes_h)) for k in range(B)]
+
+    def _composite_one(self, hi1, hi2, mesh1, mesh2) -> np.ndarray:
+        return self._composite_many(np.asarray(hi1)[None],
+                                    np.asarray(hi2)[None],
+                                    mesh1[None], mesh2[None])[0]
 
     def push(self, hi1: np.ndarray, hi2: np.ndarray) -> List[np.ndarray]:
         """Feed one synchronized frame pair (uint8 HWC). Returns the list of
@@ -280,13 +297,15 @@ class OnlineStitcher:
         if self._t < WINDOW:
             return []
 
-        outs = []
-        if self._t == WINDOW:  # first window: emit all 7 frames
-            for k in range(WINDOW):
-                h1, h2 = self._pending_hi[k]
-                outs.append(self._composite_one(h1, h2, sm1w[k], sm2w[k]))
+        if self._t == WINDOW:  # first window: emit all 7 frames as ONE
+            # batched composite (7 serial round trips would stall startup)
+            h1s = np.stack([h for h, _ in self._pending_hi])
+            h2s = np.stack([h for _, h in self._pending_hi])
+            outs = self._composite_many(h1s, h2s, sm1w, sm2w)
         else:                   # steady state: emit the window's last frame
             h1, h2 = self._pending_hi[-1]
-            outs.append(self._composite_one(h1, h2, sm1w[-1], sm2w[-1]))
+            outs = self._composite_many(np.asarray(h1)[None],
+                                        np.asarray(h2)[None],
+                                        sm1w[-1:], sm2w[-1:])
         self._pending_hi = []
         return outs

@@ -129,10 +129,13 @@ class VideoStitcher:
         self._unpack_i420 = _unpack_i420
         self._smooth_phase = _smooth_phase
 
-    def _put_frames(self, x: np.ndarray) -> jnp.ndarray:
+    def _put_frames(self, x, dtype=np.uint8) -> jnp.ndarray:
         """Upload a host frame array, sharded over the mesh's 'data' axis
-        when one is configured (leading/frame dim must divide evenly)."""
-        x = np.ascontiguousarray(x, np.uint8)
+        when one is configured (leading/frame dim must divide evenly).
+        Arrays already on device pass through unchanged."""
+        if not isinstance(x, np.ndarray):
+            return jnp.asarray(x)
+        x = np.ascontiguousarray(x, dtype)
         if self.mesh is None:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -187,7 +190,7 @@ class VideoStitcher:
                     if e - s < c:  # pad tail to the compiled chunk shape
                         piece = np.concatenate(
                             [piece, np.repeat(piece[-1:], c - (e - s), 0)], 0)
-                    out.append(jax.device_put(piece))
+                    out.append(self._put_frames(piece))
                 return out
 
             chunks1 = upload_chunks(h1)
@@ -225,12 +228,14 @@ class VideoStitcher:
                     hi2_dev = self._unpack_i420(hi2_dev)
                 lo2j = self._preprocess(hi2_dev, mh, mw)
             else:
-                hi1_dev, hi2_dev = jnp.asarray(hi1), jnp.asarray(hi2)
+                hi1_dev = self._put_frames(hi1)
+                hi2_dev = self._put_frames(hi2)
                 if hi1_dev.ndim == 3:  # packed I420 [T, H*3//2, W]
                     hi1_dev = self._unpack_i420(hi1_dev)
                 if hi2_dev.ndim == 3:
                     hi2_dev = self._unpack_i420(hi2_dev)
-                lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
+                lo1j = self._put_frames(lo1, dtype=np.float32)
+                lo2j = self._put_frames(lo2, dtype=np.float32)
                 timer.mark("upload", sync=(lo1j, lo2j))
                 tmotion1 = self._motion.temporal(lo1j)
             smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)

@@ -131,9 +131,13 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
     # 3-channel gather + arithmetic coverage mask: warping a concatenated
     # ones-plane is identical math but a 4-channel gather hits a ~1000x
     # slower XLA lowering on TPU (CLAUDE.md)
-    warped, masks = tps_warp_with_mask(im, src, tgt, (oh, ow),
-                                       mode=warp_mode,
-                                       coord_stride=coord_stride)
+    from stabstitch2_tpu.ops.pallas_warp import pallas_available
+
+    warped, masks = tps_warp_with_mask(
+        im, src, tgt, (oh, ow), mode=warp_mode,
+        grid_span=(span_h, span_w),
+        use_pallas=(pallas_available() if coord_stride == 1 else None),
+        coord_stride=coord_stride)
     warped = warped.reshape(V, B, oh, ow, 3)
     masks = masks.reshape(V, B, oh, ow)
     # cascaded fusion left -> right (reference :486-503)
@@ -175,9 +179,12 @@ def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
         if pad:
             mv = jnp.concatenate([mv, jnp.tile(mv[:, -1:],
                                                (1, pad, 1, 1, 1))], 1)
+        # normalize by the TRUE canvas extents (grid_span), not the padded
+        # bucket — TPS is only similarity-invariant, so the padded extent
+        # must not leak in (same invariant as the 2-view compositor)
         fused = _composite_chain_chunk(
             iv, mv, offset, (oh, ow), config.warp_mode, config.fusion_mode,
-            grid_span=(oh, ow),
+            grid_span=(canvas.out_h, canvas.out_w),
             coord_stride=getattr(config, "coord_stride", 1))
         outs.append(np.asarray(
             fused[:e - s, :canvas.out_h, :canvas.out_w]))

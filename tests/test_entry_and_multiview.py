@@ -162,6 +162,13 @@ class TestMeshInference:
         diff = np.abs(got.frames.astype(np.int16)
                       - ref.frames.astype(np.int16))
         assert diff.max() <= 1, f"max uint8 delta {diff.max()}"
+        # stream-mode uploads must shard over 'data' too (chunk 4 is not
+        # divisible by 8 -> chunks stay replicated, still correct)
+        dp.upload_mode = "stream"
+        got_s = dp.stitch_arrays(v1, None, v2, None)
+        diff_s = np.abs(got_s.frames.astype(np.int16)
+                        - ref.frames.astype(np.int16))
+        assert diff_s.max() <= 1, f"stream max uint8 delta {diff_s.max()}"
 
 
 class TestThreeViewParity:

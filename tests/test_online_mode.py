@@ -72,12 +72,18 @@ class TestI420Emission:
             o = OnlineStitcher(st, emit_format=fmt)
             for t in range(T):
                 sink += o.push(v1[t], v2[t])
+            if fmt == "i420":  # Canvas must describe the emitted frames
+                assert sink[-1].shape == (o.canvas.out_h * 3 // 2,
+                                          o.canvas.out_w)
         assert len(bgr_out) == len(i420_out) == T
         for b, p in zip(bgr_out, i420_out):
             oh, ow = p.shape[0] * 2 // 3, p.shape[1]
+            # the i420 canvas rounds odd extents UP to even, so compare the
+            # common region only (bgr canvas may be one row/col smaller)
+            ch, cw = min(oh, b.shape[0]), min(ow, b.shape[1])
             back = cv2.cvtColor(p, cv2.COLOR_YUV2BGR_I420)
-            diff = np.abs(back.astype(np.int16)
-                          - b[:oh, :ow].astype(np.int16))
+            diff = np.abs(back[:ch, :cw].astype(np.int16)
+                          - b[:ch, :cw].astype(np.int16))
             # 4:2:0 chroma subsampling error is large on noise-like
             # synthetic texture; the decoded round trip must stay close
             # (the encoder itself is golden-tested in test_pipeline)
