@@ -96,9 +96,41 @@ class TestCLI:
 
 
 class TestParallelTrain:
-    def test_parallelize_temporal_step_8dev(self):
-        import functools
+    def test_parallelize_smooth_step_8dev(self):
+        """The smooth stage's 6-term step runs on the (data, model) mesh
+        too (the most intricate batch layout: two shifted windows, dense
+        path warps)."""
+        from stabstitch2_tpu.config import SmoothTrainConfig
+        from stabstitch2_tpu.models import SmoothNet
+        from stabstitch2_tpu.parallel.train import parallelize_step, shard_batch
+        from stabstitch2_tpu.train.common import create_train_state
+        from stabstitch2_tpu.train.smooth import smooth_train_step
 
+        cfg = SmoothTrainConfig(batch_size=8, frame_num=7, train_sqe=2)
+        net = SmoothNet()
+        rng = np.random.default_rng(0)
+        B, L, mh, mw = 8, 8, 128, 160
+        mesh0 = jnp.zeros((1, 7, 7, 9, 2))
+        variables = net.init(jax.random.PRNGKey(0), mesh0, mesh0, mesh0,
+                             mesh0)
+        state = create_train_state(variables, cfg, steps_per_epoch=4)
+        f32 = lambda shape, s: jnp.asarray(
+            rng.normal(0, s, shape).astype(np.float32))
+        imgs = jnp.asarray(rng.uniform(-1, 1, (B, L, mh, mw, 3))
+                           .astype(np.float32))
+        batch = (f32((B, L, 7, 9, 2), 2.0), f32((B, L, 7, 9, 2), 2.0),
+                 f32((B, L, 7, 9, 2), 8.0), f32((B, L, 7, 9, 2), 8.0),
+                 imgs, imgs)
+
+        def step(st, *b):
+            return smooth_train_step.__wrapped__(st, b, net, cfg)
+
+        jitted, sstate, mesh = parallelize_step(step, state, batch,
+                                                donate_state=False)
+        new_state, metrics = jitted(sstate, *shard_batch(mesh, batch))
+        assert np.isfinite(float(metrics["total"]))
+
+    def test_parallelize_temporal_step_8dev_conv_tp_engaged(self):
         from stabstitch2_tpu.config import TemporalTrainConfig
         from stabstitch2_tpu.models import TemporalNet
         from stabstitch2_tpu.parallel.train import parallelize_step, shard_batch
