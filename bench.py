@@ -76,6 +76,12 @@ def main():
     # dev-tunnel link to the chip is shared and its bandwidth swings ~2x
     # run-to-run; the best pass reflects the framework's throughput rather
     # than transient relay congestion.
+    # sustained passes skip the per-phase host syncs: stitch_begin returns
+    # as soon as the work is enqueued, so video k+1's begin fits entirely
+    # under video k's download drain (phase attribution comes from the
+    # single-video run above, which keeps sync_phases=True)
+    stitcher.sync_phases = False
+
     def sustained_pass():
         t0 = time.time()
         t_first = None

@@ -79,6 +79,13 @@ class VideoStitcher:
     # reference (single-GPU, per-frame) has no counterpart. Frame counts
     # not divisible by the axis stay replicated (correct, just not split).
     mesh: Optional["jax.sharding.Mesh"] = None
+    # True: block on each phase so StitchResult carries the reference-style
+    # per-phase fps/ms attribution (test_online_ssd.py:302,395,402,418).
+    # False: enqueue the whole video without intermediate host syncs — the
+    # per-phase numbers become enqueue-side approximations, but stitch_begin
+    # returns sooner, widening the cross-video overlap window (the sustained
+    # pipeline's begin must fit under the previous video's download drain).
+    sync_phases: bool = True
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -173,6 +180,7 @@ class VideoStitcher:
         if T < WINDOW:
             raise ValueError(f"video too short: {T} < window {WINDOW}")
         timer = PhaseTimer(T)
+        snc = (lambda x: x) if self.sync_phases else (lambda x: None)
 
         mh, mw = self.model_h, self.model_w
         if (lo1 is None or lo2 is None) and self.upload_mode == "stream":
@@ -195,7 +203,7 @@ class VideoStitcher:
 
             chunks1 = upload_chunks(h1)
             chunks2 = upload_chunks(h2)
-            timer.mark("upload", sync=chunks1[-1])
+            timer.mark("upload", sync=snc(chunks1[-1]))
             if hi1.ndim == 3:  # packed I420 chunks -> uint8 BGR on device
                 chunks1 = [self._unpack_i420(c) for c in chunks1]
             if hi2.ndim == 3:
@@ -204,12 +212,12 @@ class VideoStitcher:
             lo2_chunks = [self._preprocess(x, mh, mw) for x in chunks2]
             smotion1, smotion2 = self._motion.spatial_chunks(
                 lo1_chunks, lo2_chunks, T)
-            timer.mark("spatial", sync=(smotion1, smotion2))
+            timer.mark("spatial", sync=snc((smotion1, smotion2)))
             feats1 = self._motion.features_chunks(lo1_chunks, T)
             feats2 = self._motion.features_chunks(lo2_chunks, T)
             tmotion1 = self._motion.temporal_from_features(feats1)
             tmotion2 = self._motion.temporal_from_features(feats2)
-            timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
+            timer.mark("temporal", sync=snc((tmotion1[0], tmotion2[0])))
             hi1_dev = jnp.concatenate(chunks1, 0)[:T]
             hi2_dev = jnp.concatenate(chunks2, 0)[:T]
         else:
@@ -223,7 +231,7 @@ class VideoStitcher:
                 lo1j = self._preprocess(hi1_dev, mh, mw)
                 tmotion1 = self._motion.temporal(lo1j)
                 hi2_dev = self._put_frames(hi2)
-                timer.mark("upload", sync=hi2_dev)
+                timer.mark("upload", sync=snc(hi2_dev))
                 if hi2.ndim == 3:
                     hi2_dev = self._unpack_i420(hi2_dev)
                 lo2j = self._preprocess(hi2_dev, mh, mw)
@@ -236,12 +244,12 @@ class VideoStitcher:
                     hi2_dev = self._unpack_i420(hi2_dev)
                 lo1j = self._put_frames(lo1, dtype=np.float32)
                 lo2j = self._put_frames(lo2, dtype=np.float32)
-                timer.mark("upload", sync=(lo1j, lo2j))
+                timer.mark("upload", sync=snc((lo1j, lo2j)))
                 tmotion1 = self._motion.temporal(lo1j)
             smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
-            timer.mark("spatial", sync=(smotion1, smotion2))
+            timer.mark("spatial", sync=snc((smotion1, smotion2)))
             tmotion2 = self._motion.temporal(lo2j)
-            timer.mark("temporal", sync=(tmotion1[0], tmotion2[0]))
+            timer.mark("temporal", sync=snc((tmotion1[0], tmotion2[0])))
 
         # phases 3+4: transport + batched sliding-window smoothing, one jit.
         # Frame count is padded up to a bucket (repeat-last) so a dataset of
@@ -262,7 +270,7 @@ class VideoStitcher:
             nw = T - self.config.window + 1
             smooth = {k: (v[:nw] if k.startswith("win_") else v[:T])
                       for k, v in smooth.items()}
-        timer.mark("smooth", sync=smooth["smooth_mesh1"])
+        timer.mark("smooth", sync=snc(smooth["smooth_mesh1"]))
 
         # phase 5: composite at native resolution — enqueue only; chunk
         # downloads are requested async and drain in the background
