@@ -44,6 +44,10 @@ def _add_stitcher_args(p):
                    help="data-parallel inference: shard frame batches over "
                         "a mesh of this many chips (GSPMD partitions every "
                         "phase; frame counts must divide evenly to split)")
+    p.add_argument("--no_phase_sync", action="store_true",
+                   help="skip the blocking per-phase timers: each video is "
+                        "enqueued in one go, maximizing cross-video overlap "
+                        "(per-phase fps become enqueue-side approximations)")
 
 
 def _build_stitcher(args, download_default="bgr"):
@@ -73,6 +77,8 @@ def cmd_stitch(args):
     )
 
     stitcher = _build_stitcher(args, download_default="yuv420")
+    if getattr(args, "no_phase_sync", False):
+        stitcher.sync_phases = False
     videos = list_videos(args.test_path)
     if not videos:
         print(f"no videos under {args.test_path}", file=sys.stderr)
