@@ -59,11 +59,13 @@ def _build_stitcher(args, download_default="bgr"):
     cfg = StitchConfig(warp_mode=args.warp_mode, fusion_mode=fusion,
                        download_format=args.download_format
                        or download_default)
-    return stitcher_from_checkpoint(ckpt_dir=args.ckpt_dir,
-                                    reference_pth_dir=args.reference_pth_dir,
-                                    config=cfg, chunk=args.chunk,
-                                    n_devices=getattr(args, "n_devices",
-                                                      None))
+    stitcher = stitcher_from_checkpoint(
+        ckpt_dir=args.ckpt_dir, reference_pth_dir=args.reference_pth_dir,
+        config=cfg, chunk=args.chunk,
+        n_devices=getattr(args, "n_devices", None))
+    if getattr(args, "no_phase_sync", False):
+        stitcher.sync_phases = False
+    return stitcher
 
 
 def cmd_stitch(args):
@@ -77,8 +79,6 @@ def cmd_stitch(args):
     )
 
     stitcher = _build_stitcher(args, download_default="yuv420")
-    if getattr(args, "no_phase_sync", False):
-        stitcher.sync_phases = False
     videos = list_videos(args.test_path)
     if not videos:
         print(f"no videos under {args.test_path}", file=sys.stderr)

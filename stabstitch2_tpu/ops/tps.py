@@ -237,8 +237,8 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        target: jnp.ndarray, out_size: Tuple[int, int],
                        mode: str = "NORMAL",
                        T: Optional[jnp.ndarray] = None,
-                       grid_span: Optional[Tuple[int, int]] = None,
                        use_pallas: Optional[bool] = None,
+                       grid_span: Optional[Tuple[int, int]] = None,
                        coord_stride: int = 1
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].

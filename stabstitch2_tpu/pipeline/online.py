@@ -207,9 +207,11 @@ class OnlineStitcher:
         self.reanchor_frames.append(self._t)
 
     def _enqueue_composite(self, hi1, hi2, m1, m2):
-        """Dispatch a BATCH of frames' composite against the CURRENT canvas
-        and return (cropped device planes [B, ...], device extents) without
-        any host sync — the caller fetches both together (one round trip)."""
+        """Dispatch ONE frame's composite (B=1) against the CURRENT canvas
+        and return (cropped device planes, device extents) without any host
+        sync — the caller fetches everything together (one round trip).
+        Keeping B=1 means the steady state and the first-window burst share
+        a single compiled composite program."""
         c = self.canvas
         fused = _composite_chunk(
             jnp.asarray(hi1), jnp.asarray(hi2), m1, m2,
@@ -260,13 +262,24 @@ class OnlineStitcher:
         m2 = scale_meshes(meshes2, H, W, self.mh, self.mw)
         if self.canvas is None:
             self._establish_canvas(m1, m2, H, W)
-        planes, ext = self._enqueue_composite(his1, his2, m1, m2)
-        planes_h, extv = jax.device_get((planes, ext))
-        if not self._ext_fits(extv):
+        # enqueue B single-frame composites (no sync between them — same
+        # compiled B=1 program as steady state) and fetch everything with
+        # ONE device_get
+        def enqueue_all():
+            return [self._enqueue_composite(his1[k:k + 1], his2[k:k + 1],
+                                            m1[k:k + 1], m2[k:k + 1])
+                    for k in range(B)]
+
+        pend = enqueue_all()
+        fetched = jax.device_get(pend)
+        exts = np.stack([e for _, e in fetched])
+        ext = np.array([exts[:, 0].min(), exts[:, 1].max(),
+                        exts[:, 2].min(), exts[:, 3].max()])
+        if not self._ext_fits(ext):
             self._reanchor(m1, m2)
-            planes, _ = self._enqueue_composite(his1, his2, m1, m2)
-            planes_h = jax.device_get(planes)
-        return [self._pack(tuple(p[k] for p in planes_h)) for k in range(B)]
+            fetched = jax.device_get(enqueue_all())
+        return [self._pack(tuple(p[0] for p in planes))
+                for planes, _ in fetched]
 
     def _composite_one(self, hi1, hi2, mesh1, mesh2) -> np.ndarray:
         return self._composite_many(np.asarray(hi1)[None],

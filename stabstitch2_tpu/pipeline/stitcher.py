@@ -139,10 +139,11 @@ class VideoStitcher:
     def _put_frames(self, x, dtype=np.uint8) -> jnp.ndarray:
         """Upload a host frame array, sharded over the mesh's 'data' axis
         when one is configured (leading/frame dim must divide evenly).
-        Arrays already on device pass through unchanged."""
+        Arrays already on device pass through unchanged; dtype=None keeps
+        the input dtype (the compositor accepts float 0..255 frames)."""
         if not isinstance(x, np.ndarray):
             return jnp.asarray(x)
-        x = np.ascontiguousarray(x, dtype)
+        x = np.ascontiguousarray(x, dtype or x.dtype)
         if self.mesh is None:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -236,8 +237,9 @@ class VideoStitcher:
                     hi2_dev = self._unpack_i420(hi2_dev)
                 lo2j = self._preprocess(hi2_dev, mh, mw)
             else:
-                hi1_dev = self._put_frames(hi1)
-                hi2_dev = self._put_frames(hi2)
+                # dtype preserved: this path accepts float 0..255 hi frames
+                hi1_dev = self._put_frames(hi1, dtype=None)
+                hi2_dev = self._put_frames(hi2, dtype=None)
                 if hi1_dev.ndim == 3:  # packed I420 [T, H*3//2, W]
                     hi1_dev = self._unpack_i420(hi1_dev)
                 if hi2_dev.ndim == 3:

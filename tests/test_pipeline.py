@@ -437,6 +437,20 @@ class TestDeterminismAndShapes:
         r2 = st.stitch_arrays(v1, None, v2, None)
         np.testing.assert_array_equal(r1.frames, r2.frames)
 
+    def test_no_phase_sync_matches_synced(self):
+        """sync_phases=False (enqueue-whole-video mode, used by bench and
+        cli --no_phase_sync) must produce identical frames — the syncs are
+        attribution only, never a correctness dependency."""
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=8, height=mh, width=mw,
+                                    seed=13)
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        r_sync = st.stitch_arrays(v1, None, v2, None)
+        st.sync_phases = False
+        r_nosync = st.stitch_arrays(v1, None, v2, None)
+        np.testing.assert_array_equal(r_sync.frames, r_nosync.frames)
+
     def test_varied_video_lengths_one_stitcher(self):
         mh, mw = 128, 160
         st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
