@@ -92,6 +92,11 @@ class OnlineStitcher:
             """One streaming frame, fused: the whole motion+smooth chain is
             a single device program so a push costs one dispatch round trip
             (plus the composite), not ~10."""
+            if hi_pair_u8.ndim == 3:  # packed I420 [2, H*3//2, W]
+                from stabstitch2_tpu.ops.yuv import i420_to_bgr
+
+                hi_pair_u8 = jnp.round(
+                    i420_to_bgr(hi_pair_u8)).astype(jnp.uint8)
             lo = hi_pair_u8.astype(jnp.float32)
             if hi_pair_u8.shape[1] != mh or hi_pair_u8.shape[2] != mw:
                 lo = jax.image.resize(lo, (2, mh, mw, 3), "bilinear")
@@ -124,8 +129,12 @@ class OnlineStitcher:
                               buf_ts1.at[0].set(0.0)[None],
                               buf_ts2.at[0].set(0.0)[None])
             d = smooth_outputs(raw)
+            # hi_pair_u8 (unpacked BGR) is returned so the composite reads
+            # the DEVICE copy — frames cross the host->device link exactly
+            # once per push, in whichever format the producer supplied
             return (feat, smesh1, smesh2, buf_smesh1, buf_smesh2, buf_ts1,
-                    buf_ts2, d["smooth_mesh1"][0], d["smooth_mesh2"][0])
+                    buf_ts2, d["smooth_mesh1"][0], d["smooth_mesh2"][0],
+                    hi_pair_u8)
 
         self._step = _step
         self._rigid = rigid
@@ -287,14 +296,19 @@ class OnlineStitcher:
                                     mesh1[None], mesh2[None])[0]
 
     def push(self, hi1: np.ndarray, hi2: np.ndarray) -> List[np.ndarray]:
-        """Feed one synchronized frame pair (uint8 HWC). Returns the list of
-        panorama frames that became available (possibly empty)."""
+        """Feed one synchronized frame pair. Returns the list of panorama
+        frames that became available (possibly empty).
+
+        Frames are uint8 BGR [H, W, 3] or packed I420 [H*3//2, W] (the
+        format cameras/decoders produce natively; 1.5 bytes/px upload).
+        Either way each frame crosses the host->device link exactly once —
+        the composite reads the device-resident BGR copy."""
         s = self.s
         hi_pair = jnp.stack([jnp.asarray(hi1, jnp.uint8),
                              jnp.asarray(hi2, jnp.uint8)])
         (self._prev_feat, self._prev_smesh1, self._prev_smesh2,
          self._buf_smesh1, self._buf_smesh2, self._buf_ts1, self._buf_ts2,
-         sm1w, sm2w) = self._step(
+         sm1w, sm2w, hi_bgr) = self._step(
             s.spatial_vars, s.temporal_vars, s.smooth_vars, hi_pair,
             self._prev_feat, self._prev_smesh1, self._prev_smesh2,
             self._buf_smesh1, self._buf_smesh2, self._buf_ts1, self._buf_ts2,
@@ -305,20 +319,19 @@ class OnlineStitcher:
         # want the stabilized geometry (metrics, custom compositors)
         self.window_smooth = (sm1w, sm2w)
 
-        self._pending_hi.append((hi1, hi2))
+        self._pending_hi.append((hi_bgr[0], hi_bgr[1]))
         self._t += 1
         if self._t < WINDOW:
             return []
 
-        if self._t == WINDOW:  # first window: emit all 7 frames as ONE
-            # batched composite (7 serial round trips would stall startup)
-            h1s = np.stack([h for h, _ in self._pending_hi])
-            h2s = np.stack([h for _, h in self._pending_hi])
+        if self._t == WINDOW:  # first window: emit all 7 frames in one
+            # burst (enqueued unsynced, fetched with one device_get)
+            h1s = jnp.stack([h for h, _ in self._pending_hi])
+            h2s = jnp.stack([h for _, h in self._pending_hi])
             outs = self._composite_many(h1s, h2s, sm1w, sm2w)
         else:                   # steady state: emit the window's last frame
             h1, h2 = self._pending_hi[-1]
-            outs = self._composite_many(np.asarray(h1)[None],
-                                        np.asarray(h2)[None],
+            outs = self._composite_many(h1[None], h2[None],
                                         sm1w[-1:], sm2w[-1:])
         self._pending_hi = []
         return outs

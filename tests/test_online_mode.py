@@ -91,6 +91,31 @@ class TestI420Emission:
             assert np.median(diff) <= 3, np.median(diff)
 
 
+class TestI420Input:
+    def test_push_accepts_packed_i420_frames(self):
+        """push() takes camera-native packed 4:2:0 frames; meshes must
+        match the BGR input path up to the chroma-subsampling round trip
+        of the inputs."""
+        from stabstitch2_tpu.data.video_io import bgr_to_i420
+
+        T = 8
+        v1, v2 = make_two_view_clip(num_frames=T, height=MH, width=MW,
+                                    overlap=0.6, shake_px=2.0, seed=29)
+        st = init_stitcher(rng_seed=0, model_h=MH, model_w=MW, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        o_bgr = OnlineStitcher(st)
+        o_i420 = OnlineStitcher(st)
+        p1, p2 = bgr_to_i420(v1), bgr_to_i420(v2)
+        n_bgr = n_i420 = 0
+        for t in range(T):
+            n_bgr += len(o_bgr.push(v1[t], v2[t]))
+            n_i420 += len(o_i420.push(p1[t], p2[t]))
+        assert n_bgr == n_i420 == T
+        m_bgr = np.asarray(o_bgr.window_smooth[0][-1])
+        m_i420 = np.asarray(o_i420.window_smooth[0][-1])
+        assert np.abs(m_bgr - m_i420).max() < 3.0  # px, model res
+
+
 class TestCanvasReanchor:
     """Drift beyond the causal canvas re-anchors instead of silently
     cropping (pipeline/online.py:_reanchor)."""
