@@ -47,6 +47,15 @@ def pack_i420(y, u, v) -> jnp.ndarray:
     return flat.reshape(B, H * 3 // 2, W)
 
 
+def unpack_i420_u8(packed_u8: jnp.ndarray) -> jnp.ndarray:
+    """Packed I420 [.., H*3//2, W] uint8 -> uint8 BGR [.., H, W, 3].
+
+    The ONE quantized-unpack convention (round-then-uint8; i420_to_bgr
+    clips internally) shared by the batch stitcher and the online mode —
+    keep upload quantization identical across paths."""
+    return jnp.round(i420_to_bgr(packed_u8)).astype(jnp.uint8)
+
+
 def i420_to_bgr(packed: jnp.ndarray) -> jnp.ndarray:
     """Packed I420 [B, H*3//2, W] (uint8/float) -> float BGR [B, H, W, 3].
 

@@ -93,10 +93,9 @@ class OnlineStitcher:
             a single device program so a push costs one dispatch round trip
             (plus the composite), not ~10."""
             if hi_pair_u8.ndim == 3:  # packed I420 [2, H*3//2, W]
-                from stabstitch2_tpu.ops.yuv import i420_to_bgr
+                from stabstitch2_tpu.ops.yuv import unpack_i420_u8
 
-                hi_pair_u8 = jnp.round(
-                    i420_to_bgr(hi_pair_u8)).astype(jnp.uint8)
+                hi_pair_u8 = unpack_i420_u8(hi_pair_u8)
             lo = hi_pair_u8.astype(jnp.float32)
             if hi_pair_u8.shape[1] != mh or hi_pair_u8.shape[2] != mw:
                 lo = jax.image.resize(lo, (2, mh, mw, 3), "bilinear")
@@ -304,6 +303,19 @@ class OnlineStitcher:
         Either way each frame crosses the host->device link exactly once —
         the composite reads the device-resident BGR copy."""
         s = self.s
+        for name, h in (("hi1", hi1), ("hi2", hi2)):
+            if h.ndim == 2:  # must actually be packable 4:2:0, not e.g. gray
+                H15, W = h.shape
+                if H15 % 3 or (H15 * 2 // 3) % 2 or W % 2:
+                    raise ValueError(
+                        f"{name} shape {h.shape} is not packed I420: need "
+                        f"[H*3//2, W] with H and W even (got a 2-D frame "
+                        f"that does not partition into Y+U+V planes); BGR "
+                        f"frames must be [H, W, 3]")
+            elif h.ndim != 3 or h.shape[-1] != 3:
+                raise ValueError(
+                    f"{name} shape {h.shape}: expected [H, W, 3] uint8 BGR "
+                    f"or packed I420 [H*3//2, W]")
         hi_pair = jnp.stack([jnp.asarray(hi1, jnp.uint8),
                              jnp.asarray(hi2, jnp.uint8)])
         (self._prev_feat, self._prev_smesh1, self._prev_smesh2,

@@ -110,9 +110,9 @@ class VideoStitcher:
         @jax.jit
         def _unpack_i420(packed_u8):
             # 1.5-byte/px uploads: packed I420 -> uint8 BGR on device
-            from stabstitch2_tpu.ops.yuv import i420_to_bgr
+            from stabstitch2_tpu.ops.yuv import unpack_i420_u8
 
-            return jnp.round(i420_to_bgr(packed_u8)).astype(jnp.uint8)
+            return unpack_i420_u8(packed_u8)
 
         smooth_net = self.smooth_net
         window = self.config.window

@@ -106,14 +106,36 @@ class TestI420Input:
         o_bgr = OnlineStitcher(st)
         o_i420 = OnlineStitcher(st)
         p1, p2 = bgr_to_i420(v1), bgr_to_i420(v2)
-        n_bgr = n_i420 = 0
+        out_bgr, out_i420 = [], []
         for t in range(T):
-            n_bgr += len(o_bgr.push(v1[t], v2[t]))
-            n_i420 += len(o_i420.push(p1[t], p2[t]))
-        assert n_bgr == n_i420 == T
+            out_bgr += o_bgr.push(v1[t], v2[t])
+            out_i420 += o_i420.push(p1[t], p2[t])
+        assert len(out_bgr) == len(out_i420) == T
         m_bgr = np.asarray(o_bgr.window_smooth[0][-1])
         m_i420 = np.asarray(o_i420.window_smooth[0][-1])
         assert np.abs(m_bgr - m_i420).max() < 3.0  # px, model res
+        # emitted PIXELS must match too (up to the inputs' own 4:2:0
+        # chroma round trip — large on synthetic noise texture): guards
+        # the device-unpack -> composite seam, not just the geometry
+        for fb, fi in zip(out_bgr, out_i420):
+            ch = min(fb.shape[0], fi.shape[0])
+            cw = min(fb.shape[1], fi.shape[1])
+            d = np.abs(fb[:ch, :cw].astype(np.int16)
+                       - fi[:ch, :cw].astype(np.int16))
+            assert d.mean() < 8.0, d.mean()
+
+    def test_push_rejects_non_i420_2d_frames(self):
+        import pytest
+
+        st = init_stitcher(rng_seed=0, model_h=MH, model_w=MW, chunk=4,
+                           config=StitchConfig(canvas_bucket=32))
+        o = OnlineStitcher(st)
+        gray = np.zeros((MH, MW), np.uint8)  # H not a multiple of 3
+        with pytest.raises(ValueError, match="not packed I420"):
+            o.push(gray, gray)
+        with pytest.raises(ValueError, match="expected"):
+            o.push(np.zeros((MH, MW, 4), np.uint8),
+                   np.zeros((MH, MW, 4), np.uint8))
 
 
 class TestCanvasReanchor:
