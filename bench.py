@@ -109,7 +109,11 @@ def main():
                       if done_steady else total_fps)
         return steady_fps, total_fps
 
-    passes = [sustained_pass() for _ in range(2)]
+    # best-of-N passes: the shared relay's bandwidth swings ~2x on minute
+    # timescales (documented below); more passes = better odds one runs on
+    # an uncongested window. ~12 s each.
+    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
+    passes = [sustained_pass() for _ in range(n_passes)]
     fps, total_fps = max(passes)
     print(json.dumps({
         "metric": "two_video_stitch_fps_360x480",
