@@ -108,15 +108,24 @@ def cmd_stitch(args):
 
     threading.Thread(target=loader, daemon=True).start()
 
-    def finish_and_write(entry):
+    def finish_and_write(entry) -> int:
         name, out, pending, t0 = entry
-        result = stitcher.stitch_finish(pending)
-        write_video(out, result.frames, frame_format=result.frame_format)
+        nonlocal failed
+        try:
+            result = stitcher.stitch_finish(pending)
+            write_video(out, result.frames, frame_format=result.frame_format)
+        except Exception as e:
+            print(f"{name}: stitch failed: {e}", file=sys.stderr)
+            failed += 1
+            return 0
         result.fps["encode"] = len(result.frames) / max(time.time() - t0, 1e-9)
         print(f"{name}: {result.frames.shape[0]} frames -> {out} "
               f"canvas={result.canvas.out_w}x{result.canvas.out_h} "
               f"fps={ {k: round(v, 2) for k, v in result.fps.items()} } "
               f"({time.time() - t0:.1f}s)")
+        return 1
+
+    done = failed = 0
 
     # two-deep software pipeline: video k+1's uploads+motion+smoothing are
     # enqueued BEFORE video k's downloads are collected, so the d2h drain
@@ -130,17 +139,30 @@ def cmd_stitch(args):
         name = os.path.basename(vd)
         if err is not None:
             print(f"{name}: load failed: {err}", file=sys.stderr)
+            failed += 1
             continue
         out = os.path.join(args.output_path, name + ".mp4")
         t0 = time.time()
         hi1, lo1, hi2, lo2 = loaded
-        with trace(args.trace_dir):
-            pending = stitcher.stitch_begin(hi1, lo1, hi2, lo2)
+        try:
+            with trace(args.trace_dir):
+                pending = stitcher.stitch_begin(hi1, lo1, hi2, lo2)
+        except Exception as e:
+            # one bad video (too short, canvas over the configured max, ...)
+            # must not abort a dataset-scale run
+            print(f"{name}: stitch failed: {e}", file=sys.stderr)
+            failed += 1
+            continue
         if in_flight is not None:
-            finish_and_write(in_flight)
+            done += finish_and_write(in_flight)
         in_flight = (name, out, pending, t0)
     if in_flight is not None:
-        finish_and_write(in_flight)
+        done += finish_and_write(in_flight)
+    if done == 0:
+        print("no videos stitched", file=sys.stderr)
+        return 1
+    if failed:
+        print(f"{done} stitched, {failed} failed/skipped", file=sys.stderr)
     return 0
 
 

@@ -76,6 +76,29 @@ class TestCLI:
         outs = os.listdir(tmp_path / "out")
         assert any(o.endswith(".mp4") for o in outs)
 
+    def test_stitch_skips_bad_videos(self, tmp_path, capsys):
+        """One unusable video (shorter than the 7-frame window) must not
+        abort a dataset-scale run; a dataset with ONLY bad videos exits 1."""
+        from stabstitch2_tpu.cli import main
+
+        write_clip_dirs(str(tmp_path / "data"), num_frames=5, height=360,
+                        width=480, seed=5, video_name="too_short")
+        write_clip_dirs(str(tmp_path / "data"), num_frames=7, height=360,
+                        width=480, seed=6, video_name="good")
+        rc = main(["stitch", "--test_path", str(tmp_path / "data"),
+                   "--output_path", str(tmp_path / "out"), "--chunk", "4"])
+        err = capsys.readouterr().err
+        assert rc == 0
+        assert os.path.exists(tmp_path / "out" / "good.mp4")
+        assert not os.path.exists(tmp_path / "out" / "too_short.mp4")
+        assert "too_short" in err and "failed" in err
+
+        write_clip_dirs(str(tmp_path / "allbad"), num_frames=5, height=360,
+                        width=480, seed=7, video_name="short2")
+        rc = main(["stitch", "--test_path", str(tmp_path / "allbad"),
+                   "--output_path", str(tmp_path / "out2"), "--chunk", "4"])
+        assert rc == 1
+
     def test_metric_command(self, tmp_path):
         from stabstitch2_tpu.cli import main
 
