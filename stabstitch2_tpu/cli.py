@@ -206,9 +206,23 @@ def cmd_train(args):
 
     if stage == "spatial":
         cfg = with_max_epoch(C.spatial_train_preset(args.preset))
+        vgg_vars = None
+        if getattr(args, "vgg_pth", None):
+            import torch
+
+            from stabstitch2_tpu.utils.torch_import import (
+                convert_state_dict,
+                vgg19_mapping,
+            )
+
+            sd = torch.load(args.vgg_pth, map_location="cpu")
+            sd = {k: v.numpy() for k, v in sd.items()}
+            params, _ = convert_state_dict(sd, vgg19_mapping())
+            vgg_vars = {"params": params}
         loop.train_spatial(args.train_path, args.test_path, cfg,
                            model_dir=args.model_dir,
                            summary_dir=args.summary_dir,
+                           vgg_variables=vgg_vars,
                            max_steps_per_epoch=args.max_steps_per_epoch,
                            n_devices=nd)
     elif stage == "temporal":
@@ -285,6 +299,10 @@ def main(argv=None):
     p.add_argument("--summary_dir", default=None)
     p.add_argument("--max_epoch", type=int, default=None)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--vgg_pth", type=str, default=None,
+                   help="torchvision vgg19 state_dict (.pth) for the tra "
+                        "recipe's perceptual loss (spatial stage only); "
+                        "required when the preset sets perception_weight>0")
     p.add_argument("--n_devices", type=int, default=None,
                    help="shard training over a (data, model) mesh of this "
                         "many devices (parallel/sharding.py)")

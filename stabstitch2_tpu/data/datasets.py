@@ -149,9 +149,13 @@ class SmoothWindowDataset:
                 "img1": sorted(glob.glob(os.path.join(vd, "video1", "*.jpg"))),
                 "img2": sorted(glob.glob(os.path.join(vd, "video2", "*.jpg"))),
             }
-            n = len(streams["tm1"])
+            # views can have unequal lengths (the loaders truncate to the
+            # min; temporal export writes full per-view length) — windows
+            # must fit the SHORTEST stream or __getitem__ slices run short
+            n = min(len(v) for v in streams.values())
             if n < train_frame_num:  # skip short videos (dataset.py:36-38)
                 continue
+            streams = {k: v[:n] for k, v in streams.items()}
             for s in range(n - train_frame_num + 1):
                 self.windows.append({k: v[s:s + train_frame_num]
                                      for k, v in streams.items()})
@@ -185,24 +189,49 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
 
     get_batch = getattr(dataset, "get_batch", None)
 
-    def produce(q: queue.Queue):
-        for s in range(0, stops, batch_size):
-            idx = order[s:s + batch_size]
-            if get_batch is not None:
-                q.put(get_batch(idx))
+    stop = threading.Event()
+
+    def _put(q, item) -> bool:
+        # bounded put that notices consumer abandonment (generator closed
+        # mid-epoch, e.g. max_steps_per_epoch) — without this, the thread
+        # would block on a full queue forever, pinning decoded batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
                 continue
-            items = [dataset[int(i)] for i in idx]
-            if isinstance(items[0], tuple):
-                q.put(tuple(np.stack(col) for col in zip(*items)))
-            else:
-                q.put(np.stack(items))
-        q.put(None)
+        return False
+
+    def produce(q: queue.Queue):
+        try:
+            for s in range(0, stops, batch_size):
+                idx = order[s:s + batch_size]
+                if get_batch is not None:
+                    batch = get_batch(idx)
+                else:
+                    items = [dataset[int(i)] for i in idx]
+                    if isinstance(items[0], tuple):
+                        batch = tuple(np.stack(col) for col in zip(*items))
+                    else:
+                        batch = np.stack(items)
+                if not _put(q, batch):
+                    return
+        except BaseException as e:  # surface decode errors on the consumer
+            _put(q, e)
+            return
+        _put(q, None)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     t = threading.Thread(target=produce, args=(q,), daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()  # unblock the producer if the consumer bailed early

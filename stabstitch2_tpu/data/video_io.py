@@ -30,12 +30,16 @@ def list_frames(video_dir: str, view: str) -> List[str]:
 
 def load_view(video_dir: str, view: str,
               model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
-              use_native: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+              use_native: bool = True,
+              want_hi: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """Load one view. Returns (hires_uint8 [T,H,W,3], model_float [-1,1]).
 
     Uses the native threaded decoder (native/frameloader.cpp) when built,
     falling back to cv2. Both produce BGR uint8 + half-pixel bilinear
     resize; JPEG IDCT rounding may differ by ~1 LSB between decoders.
+    ``want_hi=False`` returns (None, lo) without materializing the
+    full-resolution frames — motion export and the metric harness only
+    consume the model-resolution stream, and hi-res video is ~GBs.
     """
     paths = list_frames(video_dir, view)
     if not paths:
@@ -46,7 +50,8 @@ def load_view(video_dir: str, view: str,
 
         if native.available():
             try:
-                hi, lo_u8 = native.decode_batch(paths, lo_size=(mh, mw))
+                hi, lo_u8 = native.decode_batch(paths, lo_size=(mh, mw),
+                                                want_hi=want_hi)
                 return hi, lo_u8.astype(np.float32) / 127.5 - 1.0
             except (IOError, RuntimeError):
                 pass  # non-jpeg / size-mismatch: fall back to cv2
@@ -55,18 +60,22 @@ def load_view(video_dir: str, view: str,
         img = cv2.imread(p)
         if img is None:
             raise IOError(f"failed to read {p}")
-        hi.append(img)
+        if want_hi:
+            hi.append(img)
         small = cv2.resize(img, (mw, mh)).astype(np.float32) / 127.5 - 1.0
         lo.append(small)
-    return np.stack(hi), np.stack(lo)
+    return (np.stack(hi) if want_hi else None), np.stack(lo)
 
 
 def load_video_pair(video_dir: str,
-                    model_size: Tuple[int, int] = (MODEL_H, MODEL_W)):
-    """Both views of a two-view video directory."""
-    hi1, lo1 = load_view(video_dir, "video1", model_size)
-    hi2, lo2 = load_view(video_dir, "video2", model_size)
-    T = min(len(hi1), len(hi2))
+                    model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
+                    want_hi: bool = True):
+    """Both views of a two-view video directory (truncated to the min T)."""
+    hi1, lo1 = load_view(video_dir, "video1", model_size, want_hi=want_hi)
+    hi2, lo2 = load_view(video_dir, "video2", model_size, want_hi=want_hi)
+    T = min(len(lo1), len(lo2))
+    if not want_hi:
+        return None, lo1[:T], None, lo2[:T]
     return hi1[:T], lo1[:T], hi2[:T], lo2[:T]
 
 

@@ -18,6 +18,12 @@ import numpy as np
 import jax
 
 from stabstitch2_tpu.metrics.psnr_ssim import psnr, ssim
+
+# module-level jitted batch metrics: constructing fresh jit wrappers per
+# video would recompile the (expensive) SSIM graph for every video even at
+# identical shapes (jit caches key on callable identity)
+_psnr_batch = jax.jit(jax.vmap(psnr))
+_ssim_batch = jax.jit(jax.vmap(ssim))
 from stabstitch2_tpu.metrics.scores import (
     continue_paths,
     distortion_score,
@@ -93,8 +99,8 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
     ov = w1[..., 3:6] * w2[..., 3:6]
     a = w1[..., 0:3] * ov
     b = w2[..., 0:3] * ov
-    psnrs = jax.jit(jax.vmap(psnr))(a, b)
-    ssims = jax.jit(jax.vmap(ssim))(a, b)
+    psnrs = _psnr_batch(a, b)
+    ssims = _ssim_batch(a, b)
 
     return {"psnr": float(jnp.mean(psnrs)), "ssim": float(jnp.mean(ssims)),
             "stability": stab, "distortion": dist,
@@ -116,7 +122,8 @@ def evaluate_dataset(stitcher, dataset_dir: str,
         import os
 
         _, lo1, _, lo2 = load_video_pair(
-            vd, model_size=(stitcher.model_h, stitcher.model_w))
+            vd, model_size=(stitcher.model_h, stitcher.model_w),
+            want_hi=False)
         per_video[os.path.basename(vd)] = evaluate_video(stitcher, lo1, lo2)
 
     def agg(names):

@@ -22,10 +22,17 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray,
 
 
 def _uniform_filter_valid(x: jnp.ndarray, win: int) -> jnp.ndarray:
-    """Mean over win x win windows, 'valid' region only. x: [H, W]."""
-    c = jnp.cumsum(jnp.cumsum(jnp.pad(x, ((1, 0), (1, 0))), axis=0), axis=1)
-    s = (c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win])
-    return s / (win * win)
+    """Mean over win x win windows, 'valid' region only. x: [H, W].
+
+    Implemented as separable sliding-slice sums, NOT an integral image: a
+    float32 double-cumsum of x*x reaches ~1e10 at 360x480 (ulp ~1e3), and
+    the 4-corner subtraction then cancels catastrophically — the window
+    variance in flat regions (O(1..25)) would be wrong by >50%. Slice sums
+    only ever accumulate win^2 local values, keeping the error at ~1e-2."""
+    H, W = x.shape
+    rows = sum(x[i:H - win + 1 + i] for i in range(win))
+    cols = sum(rows[:, j:W - win + 1 + j] for j in range(win))
+    return cols / (win * win)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float = 255.0,

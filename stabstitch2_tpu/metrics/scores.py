@@ -41,16 +41,13 @@ def continue_paths(win_ori: jnp.ndarray, win_smooth: jnp.ndarray
 
 
 def stability_score(path: jnp.ndarray) -> jnp.ndarray:
-    """Weighted neighbor-L2 smoothness. path: [T, GH+1, GW+1, 2], T >= 7."""
-    p = path[None]  # [1, T, ...]
-    mid = p[:, 3:-3]
-    total = 0.0
-    for off, w in ((1, 0.9), (2, 0.3), (3, 0.1)):
-        left = p[:, 3 - off:p.shape[1] - 3 - off]
-        right = p[:, 3 + off:p.shape[1] - 3 + off if off < 3 else None]
-        total = total + (l_num_loss(left, mid, 2)
-                         + l_num_loss(right, mid, 2)) * w
-    return total
+    """Weighted neighbor-L2 smoothness. path: [T, GH+1, GW+1, 2], T >= 7.
+
+    Same +-1/2/3 recurrence the smooth trainer optimizes — delegate so the
+    published metric can never drift from the training objective."""
+    from stabstitch2_tpu.train.losses import path_smoothness_loss
+
+    return path_smoothness_loss(path[None])
 
 
 def distortion_score(mesh_seq: jnp.ndarray) -> jnp.ndarray:

@@ -24,8 +24,10 @@ def export_spatial_motions(stitcher, dataset_dir: str,
     count = 0
     videos = list_videos(dataset_dir)[:max_videos]
     for vd in videos:
-        _, lo1 = load_view(vd, "video1", (stitcher.model_h, stitcher.model_w))
-        _, lo2 = load_view(vd, "video2", (stitcher.model_h, stitcher.model_w))
+        _, lo1 = load_view(vd, "video1", (stitcher.model_h, stitcher.model_w),
+                           want_hi=False)
+        _, lo2 = load_view(vd, "video2", (stitcher.model_h, stitcher.model_w),
+                           want_hi=False)
         T = min(len(lo1), len(lo2))
         m1, m2 = stitcher._motion.spatial(lo1[:T], lo2[:T])
         m1, m2 = np.asarray(m1), np.asarray(m2)
@@ -44,10 +46,17 @@ def export_temporal_motions(stitcher, dataset_dir: str,
     count = 0
     videos = list_videos(dataset_dir)[:max_videos]
     for vd in videos:
+        # truncate BOTH views to the common length so every exported
+        # stream is frame-aligned with the SpatialMotion exports (views
+        # may have unequal frame counts)
+        los = {view: load_view(vd, view,
+                               (stitcher.model_h, stitcher.model_w),
+                               want_hi=False)[1]
+               for view in ("video1", "video2")}
+        T = min(len(v) for v in los.values())
         for view, name in (("video1", "TemporalMotion1"),
                            ("video2", "TemporalMotion2")):
-            _, lo = load_view(vd, view, (stitcher.model_h, stitcher.model_w))
-            motions = np.asarray(stitcher._motion.temporal(lo))
+            motions = np.asarray(stitcher._motion.temporal(los[view][:T]))
             d = os.path.join(vd, name)
             os.makedirs(d, exist_ok=True)
             for t in range(len(motions)):

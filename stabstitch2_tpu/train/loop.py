@@ -10,6 +10,7 @@ smooth every 10), and resume-from-latest on startup.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Optional
@@ -100,6 +101,15 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
     state = create_train_state(variables, cfg, steps_per_epoch)
     ckpt = TrainCheckpointer(model_dir)
     writer = _writer(summary_dir)
+    if cfg.perception_weight > 0 and vgg_variables is None:
+        # the tra recipe REQUIRES the VGG perceptual term
+        # (SpatialWarp/Codes/train_tra.py:112-113); silently training
+        # without it would produce a different model with no warning
+        raise ValueError(
+            "config has perception_weight > 0 (tra recipe) but no "
+            "vgg_variables were provided — pass converted VGG-19 weights "
+            "(utils.torch_import.vgg19_mapping / cli train --vgg_pth), or "
+            "set perception_weight=0 to train the ssd recipe")
     vgg_apply = (make_vgg_apply(vgg_variables)
                  if (vgg_variables is not None and cfg.perception_weight > 0)
                  else None)
@@ -118,7 +128,15 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
                                               vgg_apply)
 
     par_step = mesh = None
+    # best-SSIM survives restarts (JSON sidecar; the orbax payload schema
+    # stays unchanged for old checkpoints) — otherwise a resumed run's
+    # first epoch always "improves" on -1.0 and, with max_to_keep=3, the
+    # true best checkpoint would eventually be garbage-collected
+    best_file = os.path.join(model_dir, "best_ssim.json")
     best_ssim = -1.0
+    if restored and os.path.exists(best_file):
+        with open(best_file) as f:
+            best_ssim = float(json.load(f)["best_ssim"])
     for epoch in range(start_epoch, cfg.max_epoch):
         t0 = time.time()
         it = batch_iterator(dataset, cfg.batch_size, seed=seed + epoch)
@@ -176,6 +194,10 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
                 ckpt.save(int(state.step), {
                     "params": state.params, "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state, "step": state.step})
+                os.makedirs(model_dir, exist_ok=True)
+                with open(best_file, "w") as f:
+                    json.dump({"best_ssim": best_ssim,
+                               "step": int(state.step)}, f)
         else:
             ckpt.save(int(state.step), {
                 "params": state.params, "batch_stats": state.batch_stats,

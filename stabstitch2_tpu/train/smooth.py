@@ -133,7 +133,7 @@ def smooth_loss_fn(params, net: SmoothNet, batch, cfg: SmoothTrainConfig
     F = cfg.frame_num
     data = smoothness = shape = trajectory = align = 0.0
     paths1, paths2 = [], []
-    path_diff1 = path_diff2 = None
+    base_ts1 = base_ts2 = None
     for k in range(cfg.train_sqe):
         sl = slice(k, k + F)
         out = smooth_train_outputs(
@@ -156,12 +156,17 @@ def smooth_loss_fn(params, net: SmoothNet, batch, cfg: SmoothTrainConfig
                 out["wimg1"], out["wimg2"], out["ovmask_img"])
             paths1.append(out["smooth_path1"])
             paths2.append(out["smooth_path2"])
-            # re-basing offset for later windows (train_ssd.py:187-195)
-            path_diff1 = out["tsmotion1"][:, 1][:, None]
-            path_diff2 = out["tsmotion2"][:, 1][:, None]
+            # re-basing for later windows (train_ssd.py:187-195): window k
+            # is based at frame k, offset from window 0's base by the
+            # ACCUMULATED transported motion over frames 1..k (for the
+            # reference's train_sqe=2 this is exactly tsmotion[:, 1])
+            base_ts1 = out["tsmotion1"]
+            base_ts2 = out["tsmotion2"]
         else:
-            paths1.append(out["smooth_path1"] + path_diff1)
-            paths2.append(out["smooth_path2"] + path_diff2)
+            off1 = jnp.sum(base_ts1[:, 1:k + 1], axis=1)[:, None]
+            off2 = jnp.sum(base_ts2[:, 1:k + 1], axis=1)[:, None]
+            paths1.append(out["smooth_path1"] + off1)
+            paths2.append(out["smooth_path2"] + off2)
 
     online = (losses.online_collaboration_loss(paths1)
               + losses.online_collaboration_loss(paths2))

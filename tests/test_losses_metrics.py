@@ -84,6 +84,37 @@ class TestPSNRSSIM:
         got = float(ssim(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
         np.testing.assert_allclose(got, expected, rtol=1e-4)
 
+    def test_ssim_accurate_at_model_resolution(self):
+        """Regression: the old float32 integral-image window sums cancel
+        catastrophically at 360x480 (cumsum of x*x ~1e10, ulp ~1e3) —
+        flat-region variances came out >50% wrong. Compare against an
+        exact float64 sliding-window reference at full model size."""
+        rng = np.random.default_rng(7)
+        # flat-ish image (low variance) is the worst case for cancellation
+        a = (128.0 + rng.normal(0, 2.0, (360, 480))).astype(np.float64)
+        b = np.clip(a + rng.normal(0, 4.0, a.shape), 0, 255)
+
+        win, L = 7, 255.0
+        C1, C2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+        cov_norm = 49 / 48
+
+        def ufilt(x):
+            out = np.zeros((x.shape[0] - 6, x.shape[1] - 6))
+            for i in range(7):
+                for j in range(7):
+                    out += x[i:i + out.shape[0], j:j + out.shape[1]]
+            return out / 49.0
+
+        ux, uy = ufilt(a), ufilt(b)
+        vx = cov_norm * (ufilt(a * a) - ux * ux)
+        vy = cov_norm * (ufilt(b * b) - uy * uy)
+        vxy = cov_norm * (ufilt(a * b) - ux * uy)
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)
+             / ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2)))
+        got = float(ssim(jnp.asarray(a, jnp.float32),
+                         jnp.asarray(b, jnp.float32)))
+        np.testing.assert_allclose(got, S.mean(), rtol=1e-3)
+
 
 class TestPathContinuation:
     def test_matches_sequential_recurrence(self):
