@@ -207,7 +207,9 @@ def cmd_train(args):
     if stage == "spatial":
         cfg = with_max_epoch(C.spatial_train_preset(args.preset))
         vgg_vars = None
-        if getattr(args, "vgg_pth", None):
+        # only pay the torch import + ~550 MB state_dict load when the
+        # recipe actually uses the perceptual term
+        if getattr(args, "vgg_pth", None) and cfg.perception_weight > 0:
             import torch
 
             from stabstitch2_tpu.utils.torch_import import (

@@ -149,9 +149,19 @@ class SmoothWindowDataset:
                 "img1": sorted(glob.glob(os.path.join(vd, "video1", "*.jpg"))),
                 "img2": sorted(glob.glob(os.path.join(vd, "video2", "*.jpg"))),
             }
+            motion_keys = ("tm1", "tm2", "sm1", "sm2")
+            empty = [k for k in motion_keys if not streams[k]]
+            if empty and len(empty) < len(motion_keys):
+                # PARTIAL exports (e.g. only temporal was run): fail loudly
+                # instead of silently skipping every video. A video with NO
+                # exports at all is the normal skip case (export-motions
+                # skips videos shorter than the window).
+                raise FileNotFoundError(
+                    f"{vd}: missing streams {empty} — run "
+                    f"`cli export-motions` to generate the motion exports")
             # views can have unequal lengths (the loaders truncate to the
-            # min; temporal export writes full per-view length) — windows
-            # must fit the SHORTEST stream or __getitem__ slices run short
+            # min) — windows must fit the SHORTEST stream or __getitem__
+            # slices run short
             n = min(len(v) for v in streams.values())
             if n < train_frame_num:  # skip short videos (dataset.py:36-38)
                 continue

@@ -18,12 +18,6 @@ import numpy as np
 import jax
 
 from stabstitch2_tpu.metrics.psnr_ssim import psnr, ssim
-
-# module-level jitted batch metrics: constructing fresh jit wrappers per
-# video would recompile the (expensive) SSIM graph for every video even at
-# identical shapes (jit caches key on callable identity)
-_psnr_batch = jax.jit(jax.vmap(psnr))
-_ssim_batch = jax.jit(jax.vmap(ssim))
 from stabstitch2_tpu.metrics.scores import (
     continue_paths,
     distortion_score,
@@ -33,6 +27,12 @@ from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
 from stabstitch2_tpu.ops.tps import tps_warp
 from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
 from stabstitch2_tpu.pipeline.transport import stitched_meshes, transport_both_views
+
+# module-level jitted batch metrics: constructing fresh jit wrappers per
+# video would recompile the (expensive) SSIM graph for every video even at
+# identical shapes (jit caches key on callable identity)
+_psnr_batch = jax.jit(jax.vmap(psnr))
+_ssim_batch = jax.jit(jax.vmap(ssim))
 
 # StabStitch-D difficulty categories (test_metric_ssd.py:234-237)
 SSD_CATEGORIES = {

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from stabstitch2_tpu.train.losses import (
     inter_grid_loss_5d_ref,
     intra_grid_loss,
-    l_num_loss,
+    path_smoothness_loss,
 )
 
 
@@ -45,8 +45,6 @@ def stability_score(path: jnp.ndarray) -> jnp.ndarray:
 
     Same +-1/2/3 recurrence the smooth trainer optimizes — delegate so the
     published metric can never drift from the training objective."""
-    from stabstitch2_tpu.train.losses import path_smoothness_loss
-
     return path_smoothness_loss(path[None])
 
 

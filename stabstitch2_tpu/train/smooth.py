@@ -133,7 +133,7 @@ def smooth_loss_fn(params, net: SmoothNet, batch, cfg: SmoothTrainConfig
     F = cfg.frame_num
     data = smoothness = shape = trajectory = align = 0.0
     paths1, paths2 = [], []
-    base_ts1 = base_ts2 = None
+    base_path1 = base_path2 = None
     for k in range(cfg.train_sqe):
         sl = slice(k, k + F)
         out = smooth_train_outputs(
@@ -158,15 +158,15 @@ def smooth_loss_fn(params, net: SmoothNet, batch, cfg: SmoothTrainConfig
             paths2.append(out["smooth_path2"])
             # re-basing for later windows (train_ssd.py:187-195): window k
             # is based at frame k, offset from window 0's base by the
-            # ACCUMULATED transported motion over frames 1..k (for the
-            # reference's train_sqe=2 this is exactly tsmotion[:, 1])
-            base_ts1 = out["tsmotion1"]
-            base_ts2 = out["tsmotion2"]
+            # accumulated transported motion over frames 1..k — which is
+            # exactly window 0's ori_path at index k (ori_path =
+            # cumsum(tsmotion), models/smooth.py; for the reference's
+            # train_sqe=2 this is tsmotion[:, 1])
+            base_path1 = out["ori_path1"]
+            base_path2 = out["ori_path2"]
         else:
-            off1 = jnp.sum(base_ts1[:, 1:k + 1], axis=1)[:, None]
-            off2 = jnp.sum(base_ts2[:, 1:k + 1], axis=1)[:, None]
-            paths1.append(out["smooth_path1"] + off1)
-            paths2.append(out["smooth_path2"] + off2)
+            paths1.append(out["smooth_path1"] + base_path1[:, k][:, None])
+            paths2.append(out["smooth_path2"] + base_path2[:, k][:, None])
 
     online = (losses.online_collaboration_loss(paths1)
               + losses.online_collaboration_loss(paths2))
