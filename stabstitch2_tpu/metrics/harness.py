@@ -10,7 +10,7 @@ meshes (:473-501), aggregated per StabStitch-D difficulty category
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +24,7 @@ from stabstitch2_tpu.metrics.scores import (
     stability_score,
 )
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
-from stabstitch2_tpu.ops.tps import tps_warp
+from stabstitch2_tpu.ops.tps import tps_warp_with_mask
 from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
 from stabstitch2_tpu.pipeline.transport import stitched_meshes, transport_both_views
 
@@ -44,27 +44,32 @@ SSD_CATEGORIES = {
 
 
 def _warp_views(lo: jnp.ndarray, mesh: jnp.ndarray, chunk: int = 8
-                ) -> jnp.ndarray:
-    """NORMAL-warp normalized frames back to 0..255 with 3ch masks.
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NORMAL-warp normalized frames back to 0..255 + coverage masks.
 
     lo: [T, H, W, 3] in [-1,1]; mesh: [T, GH+1, GW+1, 2] model-res.
-    Returns [T, H, W, 6] (warped image 0..255, warped mask).
+    Returns (warped [T, H, W, 3] in 0..255, mask [T, H, W]). The mask is
+    computed arithmetically (ops/interp.py:bilinear_mask) instead of
+    warping a concatenated ones-plane like the reference — identical
+    values, but a >3-channel gather lowers ~1000x slower on TPU
+    (BENCHMARKS.md 'TPU kernel findings').
     """
     T, H, W, _ = lo.shape
     rigid = rigid_mesh(H, W, dtype=jnp.float32)
     norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
-    outs = []
+    from stabstitch2_tpu.ops.pallas_warp import pallas_available
+
+    imgs, masks = [], []
     for s in range(0, T, chunk):
         e = min(s + chunk, T)
         img = (lo[s:e] + 1.0) * 127.5
-        im = jnp.concatenate([img, jnp.ones_like(img)], -1)
         src = mesh_points(normalize_mesh(mesh[s:e], H, W))
         tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-        from stabstitch2_tpu.ops.pallas_warp import pallas_available
-
-        outs.append(tps_warp(im, src, tgt, (H, W), mode="NORMAL",
-                             use_pallas=pallas_available()))
-    return jnp.concatenate(outs, 0)
+        w, m = tps_warp_with_mask(img, src, tgt, (H, W), mode="NORMAL",
+                                  use_pallas=pallas_available())
+        imgs.append(w)
+        masks.append(m)
+    return jnp.concatenate(imgs, 0), jnp.concatenate(masks, 0)
 
 
 def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
@@ -94,11 +99,11 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
     dist = float(distortion_score(smooth["smooth_mesh2"]))
 
     # alignment PSNR/SSIM from separately-warped views
-    w1 = _warp_views(lo1j, smooth["smooth_mesh1"])
-    w2 = _warp_views(lo2j, smooth["smooth_mesh2"])
-    ov = w1[..., 3:6] * w2[..., 3:6]
-    a = w1[..., 0:3] * ov
-    b = w2[..., 0:3] * ov
+    w1, m1 = _warp_views(lo1j, smooth["smooth_mesh1"])
+    w2, m2 = _warp_views(lo2j, smooth["smooth_mesh2"])
+    ov = (m1 * m2)[..., None]
+    a = w1 * ov
+    b = w2 * ov
     psnrs = _psnr_batch(a, b)
     ssims = _ssim_batch(a, b)
 

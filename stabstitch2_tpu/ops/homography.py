@@ -54,6 +54,27 @@ def homo_warp(im: jnp.ndarray, theta: jnp.ndarray,
     return sampled.reshape(B, out_h, out_w, C)
 
 
+def homo_warp_with_mask(im: jnp.ndarray, theta: jnp.ndarray,
+                        out_size: Tuple[int, int]
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Like :func:`homo_warp` but also returns the coverage mask [B, oh, ow].
+
+    The mask equals warping a concatenated ones-channel (the reference's
+    idiom, e.g. SpatialWarp/Codes/network.py:131-135) but is computed
+    arithmetically from the sample coordinates — gathers wider than 3
+    channels hit a pathologically slow XLA lowering on TPU (BENCHMARKS.md
+    'TPU kernel findings'), so images stay 3-channel."""
+    from stabstitch2_tpu.ops.interp import bilinear_mask
+
+    B, H, W, _ = im.shape
+    out_h, out_w = out_size
+    x_s, y_s = homo_sample_coords(theta, out_size)
+    sampled = bilinear_sample(im, x_s, y_s)
+    m = bilinear_mask(H, W, x_s, y_s)
+    return (sampled.reshape(B, out_h, out_w, im.shape[-1]),
+            m.reshape(B, out_h, out_w))
+
+
 def normalize_homography(H: jnp.ndarray, height: float, width: float) -> jnp.ndarray:
     """Conjugate a pixel-coordinate homography into normalized coordinates.
 

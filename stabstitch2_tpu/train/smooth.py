@@ -23,6 +23,7 @@ from stabstitch2_tpu.config import SmoothTrainConfig
 from stabstitch2_tpu.models import SmoothNet
 from stabstitch2_tpu.models.smooth import smooth_outputs
 from stabstitch2_tpu.ops import tps_warp
+from stabstitch2_tpu.ops.tps import tps_warp_with_mask
 from stabstitch2_tpu.ops.mesh import (
     denormalize_mesh,
     mesh_points,
@@ -84,16 +85,18 @@ def smooth_train_outputs(net: SmoothNet, params, tmotion1, tmotion2,
     norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
 
     # --- alignment term tensors: warp the LAST image of the window --------
+    # 3-channel gather + arithmetic coverage mask: the reference warps
+    # concat([img, ones]) (4 channels), which hits a ~1000x slower XLA
+    # gather lowering on TPU (BENCHMARKS.md 'TPU kernel findings') — and
+    # this runs inside the jitted smooth training step on the chip.
     def warp_last(img, target_mesh):
-        im = jnp.concatenate([img[:, -1], jnp.ones_like(img[:, -1, ..., :1])],
-                             -1)
         src = mesh_points(normalize_mesh(target_mesh[:, -1], H, W))
         tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-        return tps_warp(im, src, tgt, (H, W))
+        return tps_warp_with_mask(img[:, -1], src, tgt, (H, W))
 
-    w1 = warp_last(img1, target_mesh1)
-    w2 = warp_last(img2, target_mesh2)
-    ovmask_img = (w1[..., 3] * w2[..., 3])[..., None]
+    w1, m1 = warp_last(img1, target_mesh1)
+    w2, m2 = warp_last(img2, target_mesh2)
+    ovmask_img = (m1 * m2)[..., None]
 
     # --- trajectory term tensors: dense 1/4-res smooth-path fields --------
     qh, qw = H // 4, W // 4
@@ -118,7 +121,7 @@ def smooth_train_outputs(net: SmoothNet, params, tmotion1, tmotion2,
         "smooth_path1": out["smooth_path1"], "smooth_path2": out["smooth_path2"],
         "target_mesh1": target_mesh1, "target_mesh2": target_mesh2,
         "ori_mesh1": out["ori_mesh1"], "ori_mesh2": out["ori_mesh2"],
-        "wimg1": w1[..., :3], "wimg2": w2[..., :3], "ovmask_img": ovmask_img,
+        "wimg1": w1, "wimg2": w2, "ovmask_img": ovmask_img,
         "dense_spath1": d1[..., :2], "dense_spath2": d2[..., :2],
         "ovmask_spath": ovmask_spath,
     }

@@ -19,10 +19,10 @@ from stabstitch2_tpu.models import SpatialNet, VGG19Features
 from stabstitch2_tpu.models.spatial import bidirectional_homographies
 from stabstitch2_tpu.ops import (
     h2mesh,
-    homo_warp,
     normalize_homography,
-    tps_warp,
 )
+from stabstitch2_tpu.ops.homography import homo_warp_with_mask
+from stabstitch2_tpu.ops.tps import tps_warp_with_mask
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
 from stabstitch2_tpu.train import losses
 from stabstitch2_tpu.train.common import (TrainState, data_aug_pair,
@@ -49,11 +49,17 @@ def spatial_train_outputs(net: SpatialNet, variables, img1, img2,
     H_ref, H_tgt = bidirectional_homographies(offset_1.reshape(B, 4, 2), H, W)
     theta_ref = normalize_homography(H_ref, H, W)
     theta_tgt = normalize_homography(H_tgt, H, W)
-    mask = jnp.ones_like(img1[..., :1])
-    im1 = jnp.concatenate([img1, jnp.broadcast_to(mask, img1.shape[:-1] + (1,))], -1)
-    im2 = jnp.concatenate([img2, mask], -1)
-    out_H_ref = homo_warp(im1, theta_ref, (H, W))
-    out_H_tgt = homo_warp(im2, theta_tgt, (H, W))
+
+    # Warp 3 channels + arithmetic coverage mask, then concat to the
+    # reference's image+mask layout — warping concat([img, ones]) is the
+    # same math, but a 4-channel gather hits a ~1000x slower XLA lowering
+    # on TPU (BENCHMARKS.md 'TPU kernel findings'), and this step runs
+    # inside the jitted training loop on the chip.
+    def with_mask(w, m):
+        return jnp.concatenate([w, m[..., None]], -1)
+
+    out_H_ref = with_mask(*homo_warp_with_mask(img1, theta_ref, (H, W)))
+    out_H_tgt = with_mask(*homo_warp_with_mask(img2, theta_tgt, (H, W)))
 
     rigid = rigid_mesh(H, W, dtype=img1.dtype)
     mesh_ref = h2mesh(H_ref, rigid) + mesh_motion_ref
@@ -63,8 +69,10 @@ def spatial_train_outputs(net: SpatialNet, variables, img1, img2,
                                   (B,) + norm_rigid_pts.shape)
     norm_ref = mesh_points(normalize_mesh(mesh_ref, H, W))
     norm_tgt = mesh_points(normalize_mesh(mesh_tgt, H, W))
-    out_tps_ref = tps_warp(im1, norm_ref, norm_rigid, (H, W))
-    out_tps_tgt = tps_warp(im2, norm_tgt, norm_rigid, (H, W))
+    out_tps_ref = with_mask(
+        *tps_warp_with_mask(img1, norm_ref, norm_rigid, (H, W)))
+    out_tps_tgt = with_mask(
+        *tps_warp_with_mask(img2, norm_tgt, norm_rigid, (H, W)))
 
     return {
         "output_H_ref": out_H_ref, "output_H_tgt": out_H_tgt,

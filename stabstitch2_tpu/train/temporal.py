@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 from stabstitch2_tpu.config import TemporalTrainConfig
 from stabstitch2_tpu.models import TemporalNet
-from stabstitch2_tpu.ops import tps_warp
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
+from stabstitch2_tpu.ops.tps import tps_warp_with_mask
 from stabstitch2_tpu.train import losses
 from stabstitch2_tpu.train.common import (TrainState, data_aug_pair,
                                            normalize_images)
@@ -44,9 +44,14 @@ def temporal_train_outputs(net: TemporalNet, variables, img_prev, img_next,
     norm_rigid = jnp.broadcast_to(norm_rigid_pts[None],
                                   (B,) + norm_rigid_pts.shape)
     norm_mesh = mesh_points(normalize_mesh(mesh, H, W))
-    # 3-channel mask like the reference (mask = ones_like(input2))
-    im2 = jnp.concatenate([img_next, jnp.ones_like(img_next)], -1)
-    warped = tps_warp(im2, norm_mesh, norm_rigid, (H, W))
+    # The reference warps concat([img, ones_like(img)]) — a 6-channel
+    # gather, which lowers pathologically slowly on TPU (BENCHMARKS.md
+    # 'TPU kernel findings'). Warp 3 channels, derive the mask
+    # arithmetically (bit-equal), and concat it back to the reference's
+    # [.., 6] layout (mask = ones_like(input2) broadcast to 3 channels).
+    w, m = tps_warp_with_mask(img_next, norm_mesh, norm_rigid, (H, W))
+    warped = jnp.concatenate(
+        [w, jnp.broadcast_to(m[..., None], w.shape)], -1)
     return {"output_mesh": warped, "mesh": mesh, "motion": motion}, new_vars
 
 
