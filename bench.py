@@ -115,6 +115,7 @@ def main():
     n_passes = int(os.environ.get("BENCH_PASSES", "3"))
     passes = [sustained_pass() for _ in range(n_passes)]
     fps, total_fps = max(passes)
+    dev = measure_device_compute(stitcher, frames=frames, chunk=chunk)
     print(json.dumps({
         "metric": "two_video_stitch_fps_360x480",
         "value": round(fps, 2),
@@ -123,10 +124,109 @@ def main():
         "single_video_fps": round(single_fps, 2),
         "pipelined_fps_with_fill": round(total_fps, 2),
         "sustained_videos": num_videos,
+        # observed spread across this run's passes + the documented
+        # longer-horizon band (BENCHMARKS.md): the wall number is hostage
+        # to shared-relay weather, the device_* fields are not
+        "band_low": round(min(p[0] for p in passes), 2),
+        "band_high": round(max(p[0] for p in passes), 2),
+        "band_note": "sustained wall fps swings with shared-relay "
+                     "bandwidth (19-44 observed across sessions); "
+                     "device_* fields are link-independent",
+        # TRUE device execution (fresh on-device inputs, no host transfers
+        # in the timed region, one block at the end — the
+        # examples/measure_device_compute.py methodology)
+        "device_compute_ms_per_video": dev["total_ms"],
+        "device_fps_equiv": dev["fps_equiv"],
+        "device_phase_ms": dev["phases"],
         "phase_ms": {k: round(v, 1) for k, v in result.ms.items()},
         "phase_fps_cumulative": {k: round(v, 2) for k, v in
                                  result.fps.items()},
     }))
+
+
+def measure_device_compute(st, frames: int = 48, chunk: int = 8,
+                           reps: int = 6):
+    """Per-phase TPU execution time for one `frames`-frame video.
+
+    Enqueues `reps` calls per phase with FRESH on-device random inputs
+    (identical-input replays can be cached by the remote backend) and
+    blocks once at the end — wall clock through the tunnel measures
+    dispatch, this measures the chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stabstitch2_tpu.config import StitchConfig
+    from stabstitch2_tpu.pipeline.compositor import _composite_chunk
+
+    T, H, W = frames, 360, 480
+    PAD_H, PAD_W = 384, 544
+    keys = jax.random.split(jax.random.PRNGKey(0), 128)
+
+    @jax.jit
+    def _frames(key):
+        return jax.random.uniform(key, (T, H, W, 3), jnp.float32, -1.0, 1.0)
+
+    @jax.jit
+    def _motions(key):
+        return jax.random.normal(key, (T, 7, 9, 2), jnp.float32) * 2.0
+
+    lo = {i: jax.block_until_ready(_frames(keys[i]))
+          for i in range(2 * reps + 2)}
+    mo = {i: jax.block_until_ready(_motions(keys[64 + i]))
+          for i in range(4 * reps + 4)}
+
+    def timeit(fn):
+        jax.block_until_ready(fn(0))  # warmup/compile
+        t0 = time.time()
+        outs = [fn(1 + i) for i in range(reps)]
+        jax.block_until_ready(outs)
+        return (time.time() - t0) / reps * 1e3
+
+    sp = timeit(lambda i: st._motion.spatial(lo[2 * i], lo[2 * i + 1]))
+    tp = timeit(lambda i: st._motion.temporal(lo[2 * i]))
+    sm = timeit(lambda i: st._smooth_phase(st.smooth_vars, mo[4 * i],
+                                           mo[4 * i + 1], mo[4 * i + 2],
+                                           mo[4 * i + 3]))
+
+    cfg = StitchConfig()
+
+    @jax.jit
+    def chunk_inputs(key):
+        import jax.numpy as jnp
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        i1 = jax.random.randint(k1, (chunk, H, W, 3), 0, 255,
+                                jnp.int32).astype(jnp.uint8)
+        i2 = jax.random.randint(k2, (chunk, H, W, 3), 0, 255,
+                                jnp.int32).astype(jnp.uint8)
+        xs, ys = jnp.linspace(0.0, W, 9), jnp.linspace(0.0, H, 7)
+        base = jnp.stack(jnp.meshgrid(xs, ys), -1)[None]
+        m1 = base + jax.random.normal(k3, (chunk, 7, 9, 2)) * 2.0
+        m2 = base + jax.random.normal(k4, (chunk, 7, 9, 2)) * 2.0 + 30.0
+        return i1, i2, m1, m2
+
+    ci = {i: jax.block_until_ready(chunk_inputs(keys[32 + i]))
+          for i in range(reps + 1)}
+    offset = jnp.asarray([-10.0, -10.0], jnp.float32)
+
+    def comp(i):
+        i1, i2, m1, m2 = ci[i]
+        return _composite_chunk(i1, i2, m1, m2, offset, (PAD_H, PAD_W),
+                                cfg.warp_mode, cfg.fusion_mode,
+                                grid_span=(PAD_H - 4, PAD_W - 4),
+                                out_format="yuv420",
+                                coord_stride=cfg.coord_stride)
+
+    cp = timeit(comp)
+    n_chunks = -(-T // chunk)
+    total = sp + 2 * tp + sm + cp * n_chunks
+    return {
+        "total_ms": round(total, 1),
+        "fps_equiv": round(T * 1000.0 / total, 0),
+        "phases": {"spatial": round(sp, 1), "temporal_x2": round(2 * tp, 1),
+                   "smooth": round(sm, 1),
+                   "composite": round(cp * n_chunks, 1)},
+    }
 
 
 if __name__ == "__main__":

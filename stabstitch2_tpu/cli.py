@@ -167,14 +167,83 @@ def cmd_stitch(args):
 
 
 def cmd_stitch_multi(args):
-    from stabstitch2_tpu.data.video_io import write_video
-    from stabstitch2_tpu.pipeline.threeview import stitch_multi_view
+    from stabstitch2_tpu.data.video_io import bgr_to_i420, load_view, write_video
+    from stabstitch2_tpu.pipeline.threeview import (
+        stitch_multi_begin,
+        stitch_multi_finish,
+    )
 
-    stitcher = _build_stitcher(args)
-    frames = stitch_multi_view(stitcher, args.video_dir)
-    write_video(args.output, frames)
-    print(f"{frames.shape[0]} frames -> {args.output} "
-          f"({frames.shape[2]}x{frames.shape[1]})")
+    stitcher = _build_stitcher(args, download_default="yuv420")
+
+    def view_dirs(d):
+        return sorted(v for v in os.listdir(d) if v.startswith("video")
+                      and os.path.isdir(os.path.join(d, v)))
+
+    root = args.video_dir
+    if view_dirs(root):
+        videos = [root]  # a single <dir>/video1..videoN clip
+    else:  # a dataset directory of such clips
+        videos = [os.path.join(root, d) for d in sorted(os.listdir(root))
+                  if os.path.isdir(os.path.join(root, d))
+                  and view_dirs(os.path.join(root, d))]
+    if not videos:
+        print(f"no videoN subdirectories under {root}", file=sys.stderr)
+        return 1
+    multi = len(videos) > 1
+    if multi:
+        os.makedirs(args.output, exist_ok=True)
+
+    def load(vd):
+        his = [load_view(vd, v, (stitcher.model_h, stitcher.model_w))[0]
+               for v in view_dirs(vd)]
+        try:  # 1.5-byte/px uploads (falls back on odd dims)
+            his = [bgr_to_i420(h) for h in his]
+        except ValueError:
+            pass
+        return his
+
+    def finish_and_write(entry) -> int:
+        name, out, pending, t0 = entry
+        nonlocal failed
+        try:
+            frames, fmt = stitch_multi_finish(pending)
+            write_video(out, frames, frame_format=fmt)
+        except Exception as e:
+            print(f"{name}: stitch failed: {e}", file=sys.stderr)
+            failed += 1
+            return 0
+        h = frames.shape[1] if fmt == "bgr" else frames.shape[1] * 2 // 3
+        print(f"{name}: {frames.shape[0]} frames -> {out} "
+              f"({frames.shape[2]}x{h}, {len(frames) / (time.time() - t0):.2f}"
+              f" fps incl. load)")
+        return 1
+
+    # two-deep pipeline across clips: video k+1's uploads+motion+chain are
+    # enqueued while video k's composite downloads drain (the 2-view
+    # cmd_stitch design)
+    done = failed = 0
+    in_flight = None
+    for vd in videos:
+        name = os.path.basename(vd.rstrip("/"))
+        out = (os.path.join(args.output, name + ".mp4") if multi
+               else args.output)
+        t0 = time.time()
+        try:
+            pending = stitch_multi_begin(stitcher, load(vd))
+        except Exception as e:
+            print(f"{name}: stitch failed: {e}", file=sys.stderr)
+            failed += 1
+            continue
+        if in_flight is not None:
+            done += finish_and_write(in_flight)
+        in_flight = (name, out, pending, t0)
+    if in_flight is not None:
+        done += finish_and_write(in_flight)
+    if done == 0:
+        print("no videos stitched", file=sys.stderr)
+        return 1
+    if failed:
+        print(f"{done} stitched, {failed} failed/skipped", file=sys.stderr)
     return 0
 
 

@@ -159,6 +159,16 @@ class SmoothWindowDataset:
                 raise FileNotFoundError(
                     f"{vd}: missing streams {empty} — run "
                     f"`cli export-motions` to generate the motion exports")
+            # mirror the partial-export check for the image streams: motion
+            # exports present but an empty video1/video2 jpg list is an
+            # equally broken layout and must not be silently skipped via
+            # the min() below
+            if not empty:
+                no_imgs = [k for k in ("img1", "img2") if not streams[k]]
+                if no_imgs:
+                    raise FileNotFoundError(
+                        f"{vd}: motion exports exist but image stream(s) "
+                        f"{no_imgs} are empty — broken dataset layout")
             # views can have unequal lengths (the loaders truncate to the
             # min) — windows must fit the SHORTEST stream or __getitem__
             # slices run short

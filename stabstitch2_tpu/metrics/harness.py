@@ -6,33 +6,37 @@ identical to inference, then per-frame PSNR/SSIM on the separately-warped
 continued view-2 smooth path (:444-469), distortion from the view-2 smooth
 meshes (:473-501), aggregated per StabStitch-D difficulty category
 (:234-237) and overall.
+
+TPU-first design (the reference loops eagerly per frame/window): the
+motion+smooth phases reuse the stitch path's fused, 16-frame-bucketed
+programs (VideoStitcher.motion_smooth), the stability/distortion scores are
+ONE jitted program per bucket with the true frame count as a traced scalar
+(masked reductions, no recompile across lengths), and the PSNR/SSIM tail
+runs warp+score fused per fixed-size frame chunk — so a dataset sweep
+compiles one program set per canvas bucket and stays dispatch-light.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
-
-import jax
 
 from stabstitch2_tpu.metrics.psnr_ssim import psnr, ssim
 from stabstitch2_tpu.metrics.scores import (
     continue_paths,
-    distortion_score,
-    stability_score,
+    distortion_score_masked,
+    stability_score_masked,
 )
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
 from stabstitch2_tpu.ops.tps import tps_warp_with_mask
-from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
-from stabstitch2_tpu.pipeline.transport import stitched_meshes, transport_both_views
 
-# module-level jitted batch metrics: constructing fresh jit wrappers per
-# video would recompile the (expensive) SSIM graph for every video even at
-# identical shapes (jit caches key on callable identity)
-_psnr_batch = jax.jit(jax.vmap(psnr))
-_ssim_batch = jax.jit(jax.vmap(ssim))
+# Metric-tail chunk: must divide the smooth phase's 16-frame bucket so every
+# chunk of a padded video shares one compiled shape.
+_CHUNK = 8
 
 # StabStitch-D difficulty categories (test_metric_ssd.py:234-237)
 SSD_CATEGORIES = {
@@ -43,73 +47,104 @@ SSD_CATEGORIES = {
 }
 
 
-def _warp_views(lo: jnp.ndarray, mesh: jnp.ndarray, chunk: int = 8
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """NORMAL-warp normalized frames back to 0..255 + coverage masks.
+# module-level jitted programs: constructing fresh jit wrappers per video
+# would recompile for every video even at identical shapes (jit caches key
+# on callable identity)
 
-    lo: [T, H, W, 3] in [-1,1]; mesh: [T, GH+1, GW+1, 2] model-res.
-    Returns (warped [T, H, W, 3] in 0..255, mask [T, H, W]). The mask is
-    computed arithmetically (ops/interp.py:bilinear_mask) instead of
-    warping a concatenated ones-plane like the reference — identical
-    values, but a >3-channel gather lowers ~1000x slower on TPU
-    (BENCHMARKS.md 'TPU kernel findings').
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _warp_psnr_ssim_chunk(lo1, lo2, mesh1, mesh2, use_pallas: bool
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp one chunk of both views and score alignment, fused.
+
+    lo*: [C, H, W, 3] in [-1,1]; mesh*: [C, GH+1, GW+1, 2] model-res.
+    Returns (psnr [C], ssim [C]). NORMAL warp back to 0..255 with the
+    arithmetic coverage mask (a >3-channel gather lowers ~1000x slower on
+    TPU, BENCHMARKS.md 'TPU kernel findings'); overlap-masked per-frame
+    scores like the reference (test_metric_ssd.py:506-524).
     """
-    T, H, W, _ = lo.shape
+    C, H, W, _ = lo1.shape
     rigid = rigid_mesh(H, W, dtype=jnp.float32)
     norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
-    from stabstitch2_tpu.ops.pallas_warp import pallas_available
+    tgt = jnp.broadcast_to(norm_rigid_pts[None], (C,) + norm_rigid_pts.shape)
 
-    imgs, masks = [], []
-    for s in range(0, T, chunk):
-        e = min(s + chunk, T)
-        img = (lo[s:e] + 1.0) * 127.5
-        src = mesh_points(normalize_mesh(mesh[s:e], H, W))
-        tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-        w, m = tps_warp_with_mask(img, src, tgt, (H, W), mode="NORMAL",
-                                  use_pallas=pallas_available())
-        imgs.append(w)
-        masks.append(m)
-    return jnp.concatenate(imgs, 0), jnp.concatenate(masks, 0)
+    def warp(lo, mesh):
+        img = (lo + 1.0) * 127.5
+        src = mesh_points(normalize_mesh(mesh, H, W))
+        return tps_warp_with_mask(img, src, tgt, (H, W), mode="NORMAL",
+                                  use_pallas=use_pallas)
+
+    w1, m1 = warp(lo1, mesh1)
+    w2, m2 = warp(lo2, mesh2)
+    ov = (m1 * m2)[..., None]
+    a = w1 * ov
+    b = w2 * ov
+    return jax.vmap(psnr)(a, b), jax.vmap(ssim)(a, b)
+
+
+@jax.jit
+def _stability_distortion(win_ori2, win_smooth2, ori_mesh2, smooth_mesh2,
+                          n_frames):
+    """Stability + distortion (before/after) as ONE program per bucket.
+
+    Inputs are the PADDED smooth-phase outputs (win_*: [Tb-6, 7, ...],
+    meshes: [Tb, ...]); ``n_frames`` is the traced true frame count —
+    masked reductions make every video length inside a bucket share the
+    compiled program. Reference prints the before/after pair
+    (test_metric_ssd.py:444-501).
+    """
+    ori_path2, smooth_path2 = continue_paths(win_ori2, win_smooth2)
+    return (stability_score_masked(ori_path2, n_frames),
+            stability_score_masked(smooth_path2, n_frames),
+            distortion_score_masked(ori_mesh2, n_frames),
+            distortion_score_masked(smooth_mesh2, n_frames))
+
+
+def _pad_frames(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
 
 
 def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
                    ) -> Dict[str, float]:
     """All four metrics for one video (model-resolution frames [-1,1])."""
+    from stabstitch2_tpu.ops.pallas_warp import pallas_available
+
     lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
-    mh, mw = stitcher.model_h, stitcher.model_w
+    T = lo1j.shape[0]
 
-    smotion1, smotion2 = stitcher._motion.spatial(lo1j, lo2j)
-    tmotion1 = stitcher._motion.temporal(lo1j)
-    tmotion2 = stitcher._motion.temporal(lo2j)
-    ts1, ts2 = transport_both_views(tmotion1, smotion1, tmotion2, smotion2,
-                                    mh, mw)
-    smesh1 = stitched_meshes(smotion1, mh, mw)
-    smesh2 = stitched_meshes(smotion2, mh, mw)
-    smooth = smooth_all_windows(stitcher.smooth_net, stitcher.smooth_vars,
-                                smesh1, smesh2, ts1, ts2,
-                                window=stitcher.config.window)
+    # phases 1-4 via the stitch path's fused, bucketed programs; keep the
+    # padded outputs so the score program is shared across lengths
+    smooth = stitcher.motion_smooth(lo1j, lo2j, crop=False)
+    Tb = smooth["smooth_mesh1"].shape[0]
 
-    # stability + distortion on view 2, both original and smoothed
-    # (the reference prints the before/after pair, test_metric_ssd.py:444-501)
-    ori_path2, smooth_path2 = continue_paths(smooth["win_ori_path2"],
-                                             smooth["win_smooth_path2"])
-    stab_ori = float(stability_score(ori_path2))
-    stab = float(stability_score(smooth_path2))
-    dist_ori = float(distortion_score(smooth["ori_mesh2"]))
-    dist = float(distortion_score(smooth["smooth_mesh2"]))
+    stab_ori, stab, dist_ori, dist = _stability_distortion(
+        smooth["win_ori_path2"], smooth["win_smooth_path2"],
+        smooth["ori_mesh2"], smooth["smooth_mesh2"], jnp.int32(T))
 
-    # alignment PSNR/SSIM from separately-warped views
-    w1, m1 = _warp_views(lo1j, smooth["smooth_mesh1"])
-    w2, m2 = _warp_views(lo2j, smooth["smooth_mesh2"])
-    ov = (m1 * m2)[..., None]
-    a = w1 * ov
-    b = w2 * ov
-    psnrs = _psnr_batch(a, b)
-    ssims = _ssim_batch(a, b)
+    # alignment PSNR/SSIM from separately-warped views, fused per chunk
+    lo1p = _pad_frames(lo1j, Tb)
+    lo2p = _pad_frames(lo2j, Tb)
+    use_pallas = bool(pallas_available())
+    psnrs, ssims = [], []
+    for s in range(0, Tb, _CHUNK):
+        e = s + _CHUNK
+        p, q = _warp_psnr_ssim_chunk(lo1p[s:e], lo2p[s:e],
+                                     smooth["smooth_mesh1"][s:e],
+                                     smooth["smooth_mesh2"][s:e],
+                                     use_pallas)
+        psnrs.append(p)
+        ssims.append(q)
+    psnrs = np.asarray(jnp.concatenate(psnrs))[:T]
+    ssims = np.asarray(jnp.concatenate(ssims))[:T]
 
-    return {"psnr": float(jnp.mean(psnrs)), "ssim": float(jnp.mean(ssims)),
-            "stability": stab, "distortion": dist,
-            "stability_ori": stab_ori, "distortion_ori": dist_ori}
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "stability": float(stab), "distortion": float(dist),
+            "stability_ori": float(stab_ori),
+            "distortion_ori": float(dist_ori)}
 
 
 def evaluate_dataset(stitcher, dataset_dir: str,

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stabstitch2_tpu.train.losses import (
     inter_grid_loss_5d_ref,
@@ -48,10 +50,59 @@ def stability_score(path: jnp.ndarray) -> jnp.ndarray:
     return path_smoothness_loss(path[None])
 
 
+def distortion_per_frame(mesh_seq: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame inter+intra grid loss, one vmapped program.
+
+    mesh_seq: [T, GH+1, GW+1, 2] -> [T]. (The reference evaluates this in
+    a Python loop per frame, test_metric_ssd.py:473-501; vmap keeps a
+    dataset-scale run at one dispatch instead of T.)"""
+    def one(m):
+        mm = m[None, None]  # [1, 1, GH+1, GW+1, 2]
+        return inter_grid_loss_5d_ref(mm) + intra_grid_loss(mm)
+
+    return jax.vmap(one)(mesh_seq)
+
+
 def distortion_score(mesh_seq: jnp.ndarray) -> jnp.ndarray:
     """Max over frames of inter+intra grid loss. mesh_seq: [T, GH+1, GW+1, 2]."""
-    per_frame = []
-    for k in range(mesh_seq.shape[0]):
-        m = mesh_seq[k][None, None]  # [1, 1, GH+1, GW+1, 2]
-        per_frame.append(inter_grid_loss_5d_ref(m) + intra_grid_loss(m))
-    return jnp.max(jnp.stack(per_frame))
+    return jnp.max(distortion_per_frame(mesh_seq))
+
+
+# ---------------------------------------------------------------------------
+# masked (padded-length) variants: the metric harness pads the frame dim to
+# a static bucket so one compiled program covers every video length; these
+# reproduce the unpadded scores exactly for any tail padding by masking on
+# the TRACED true frame count (no recompile across lengths within a bucket).
+# ---------------------------------------------------------------------------
+
+
+def stability_score_masked(path: jnp.ndarray, n_valid: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """``stability_score(path[:n_valid])`` computed on the padded array.
+
+    path: [Tp, GH+1, GW+1, 2] with Tp >= n_valid >= 7; n_valid may be a
+    traced scalar. Same +-1/2/3 recurrence as path_smoothness_loss, with
+    the mean taken over the n_valid-6 true center positions only.
+    """
+    Tp = path.shape[0]
+    mid = path[3:Tp - 3]
+    centers = jnp.arange(Tp - 6)
+    valid = (centers < n_valid - 6)[:, None, None, None]
+    denom = (jnp.maximum(n_valid - 6, 1)
+             * int(np.prod(path.shape[1:]))).astype(path.dtype)
+    total = jnp.zeros((), path.dtype)
+    for off, w in ((1, 0.9), (2, 0.3), (3, 0.1)):
+        left = path[3 - off:Tp - 3 - off]
+        right = path[3 + off:Tp - 3 + off or None]
+        for nb in (left, right):
+            sq = jnp.where(valid, (nb - mid) ** 2, 0.0)
+            total = total + w * (jnp.sum(sq) / denom)
+    return total
+
+
+def distortion_score_masked(mesh_seq: jnp.ndarray, n_valid: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """``distortion_score(mesh_seq[:n_valid])`` on the padded array."""
+    per = distortion_per_frame(mesh_seq)
+    return jnp.max(jnp.where(jnp.arange(per.shape[0]) < n_valid, per,
+                             -jnp.inf))

@@ -44,26 +44,29 @@ def _kernel(t_ref, src_ref, gx_ref, gy_ref, xs_ref, ys_ref, *, num_points):
     ys_ref[0] = acc_y
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "interpret",
-                                             "grid_span"))
+@functools.partial(jax.jit, static_argnames=("out_size", "interpret"))
 def tps_coords_fused(T: jnp.ndarray, source: jnp.ndarray,
                      out_size: Tuple[int, int], interpret: bool = False,
-                     grid_span: Tuple[int, int] | None = None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     grid_span=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """T: [B, 2, P+3]; source: [B, P, 2] -> (x_s, y_s) each [B, H*W].
 
     Matches ops.tps.tps_sample_coords (same normalized grid; ``grid_span``
-    extends a true-canvas grid across a padded out_size).
+    extends a true-canvas grid across a padded out_size). ``grid_span``
+    entries may be python ints OR traced scalars — traced keeps ONE
+    compiled program per padded out_size across every true canvas extent
+    (the grid rows are built with jnp arithmetic outside the kernel, so
+    the kernel itself never sees the span).
     """
+    from stabstitch2_tpu.ops.tps import _span_step
+
     B, _, pn3 = T.shape
     P = pn3 - 3
     out_h, out_w = out_size
-    span_h, span_w = grid_span or out_size
+    span_h, span_w = grid_span if grid_span is not None else out_size
     pad_h = -(-out_h // _ROWS) * _ROWS
 
     def grid_1d(n, span_n):
-        step = 2.0 / (span_n - 1) if span_n > 1 else 0.0
-        return -1.0 + step * jnp.arange(n, dtype=T.dtype)
+        return -1.0 + _span_step(span_n, T.dtype) * jnp.arange(n, dtype=T.dtype)
 
     gx_row = jnp.tile(grid_1d(out_w, span_w)[None, :], (pad_h, 1))
     gy_col = grid_1d(out_h, span_h)

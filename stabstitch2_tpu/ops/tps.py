@@ -107,16 +107,30 @@ def _eval_grid_rows(points_x: jnp.ndarray, points_y: jnp.ndarray,
     return jnp.concatenate([ones, x_rows, y_rows, r], axis=1)  # [B, P+3, N]
 
 
-def _grid_1d(n: int, span_n: int, dtype) -> jnp.ndarray:
+def _span_step(span_n, dtype) -> jnp.ndarray:
+    """Grid step 2/(span-1); accepts python ints OR traced scalars.
+
+    Traced spans matter at dataset scale: the composite warp program is
+    the most expensive compile in the framework, and keying it on the
+    per-video true canvas extent (a static arg) would recompile it for
+    every video — traced, one program covers every extent in a pad bucket.
+    """
+    if isinstance(span_n, (int, float)):
+        return 2.0 / (span_n - 1) if span_n > 1 else 0.0
+    s = jnp.asarray(span_n, dtype)
+    return jnp.where(s > 1, 2.0 / jnp.maximum(s - 1.0, 1.0), 0.0)
+
+
+def _grid_1d(n: int, span_n, dtype) -> jnp.ndarray:
     """linspace(-1, 1, span_n) extended to n points (n >= span_n).
 
     Lets a canvas padded to static shapes keep the TRUE canvas's
     normalization: TPS is invariant under similarity transforms only, so
     normalizing by the padded extent would change the spline slightly.
     Extra points continue past +1 with the same step and are cropped later.
+    ``span_n`` may be a traced scalar (see :func:`_span_step`).
     """
-    step = 2.0 / (span_n - 1) if span_n > 1 else 0.0
-    return -1.0 + step * jnp.arange(n, dtype=dtype)
+    return -1.0 + _span_step(span_n, dtype) * jnp.arange(n, dtype=dtype)
 
 
 def _lerp_upsample_1d(coarse: jnp.ndarray, n: int, stride: int,
@@ -170,8 +184,8 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
         B = source.shape[0]
         hc = (out_h - 1) // s + 2
         wc = (out_w - 1) // s + 2
-        step_x = 2.0 / (span_w - 1) if span_w > 1 else 0.0
-        step_y = 2.0 / (span_h - 1) if span_h > 1 else 0.0
+        step_x = _span_step(span_w, T.dtype)
+        step_y = _span_step(span_h, T.dtype)
         x1 = -1.0 + (step_x * s) * jnp.arange(wc, dtype=T.dtype)
         y1 = -1.0 + (step_y * s) * jnp.arange(hc, dtype=T.dtype)
         gx = jnp.broadcast_to(jnp.tile(x1[None, :], (hc, 1)).reshape(-1)[None],

@@ -70,8 +70,8 @@ def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
-                                             "fusion_mode", "grid_span",
-                                             "out_format", "coord_stride"))
+                                             "fusion_mode", "out_format",
+                                             "coord_stride"))
 def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                      warp_mode: str, fusion_mode: str,
                      grid_span=None, out_format: str = "bgr",
@@ -80,6 +80,10 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
 
     img1/img2: [B, H, W, 3] uint8 (or float 0..255); mesh1/mesh2:
     [B, GH+1, GW+1, 2] hi-res pixel meshes; offset: [2] (x_min, y_min).
+    ``grid_span`` (true canvas extents) is a TRACED operand, not a static
+    arg: the composite warp is the framework's most expensive compile, and
+    every video has a different true extent — traced, one program per
+    padded bucket serves the whole dataset.
     Returns [B, oh, ow, 3] uint8 for out_format='bgr', or uint8 I420 planes
     (Y [B,oh,ow], U, V [B,oh/2,ow/2]) for 'yuv420' — the device->host link
     is the bottleneck, so the output leaves the chip as thin as possible
@@ -155,6 +159,7 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                     config: Optional[StitchConfig] = None,
                     chunk: int = 8,
                     model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
+                    n_frames: Optional[int] = None,
                     ):
     """Enqueue a whole video's composite without fetching any result.
 
@@ -166,14 +171,17 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
     """
     config = config or StitchConfig()
     out_format = getattr(config, "download_format", "bgr")
-    T, H, W, _ = img1.shape
+    _, H, W, _ = img1.shape
+    # img arrays may be LONGER than the true frame count (dp inference pads
+    # the frame dim to the data-axis multiple); n_frames is authoritative
+    T = int(n_frames) if n_frames else img1.shape[0]
     m1 = scale_meshes(smooth_mesh1, H, W, *model_size)
     m2 = scale_meshes(smooth_mesh2, H, W, *model_size)
     canvas = compute_canvas(m1, m2, config.canvas_bucket)
     # even output dims for 4:2:0 (mp4 encoders require them anyway); the
     # warp's normalization span keeps the TRUE extents, but the returned
     # Canvas must describe the frames actually emitted
-    grid_span = (canvas.out_h, canvas.out_w)
+    grid_span = (jnp.float32(canvas.out_h), jnp.float32(canvas.out_w))
     oh = canvas.out_h if out_format == "bgr" else canvas.out_h // 2 * 2
     ow = canvas.out_w if out_format == "bgr" else canvas.out_w // 2 * 2
     if (oh, ow) != (canvas.out_h, canvas.out_w):
@@ -183,6 +191,13 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
             f"canvas {canvas.pad_h}x{canvas.pad_w} exceeds configured max "
             f"{config.max_canvas_h}x{config.max_canvas_w}")
     offset = jnp.asarray([canvas.x_min, canvas.y_min], jnp.float32)
+    # device-side crops are quantized to a 32-aligned superset of the true
+    # extent (exact crop happens on host at finish): slice-program shapes
+    # then vary per 32-bucket, not per video — each distinct shape is
+    # another remote compile on a tunneled chip — for <= 31 extra rows/cols
+    # of d2h
+    ohq = min(-(-oh // 32) * 32, canvas.pad_h)
+    owq = min(-(-ow // 32) * 32, canvas.pad_w)
 
     if isinstance(img1, np.ndarray):
         img1 = np.ascontiguousarray(img1, dtype=np.uint8)
@@ -212,11 +227,11 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                                                       1))
         if out_format == "yuv420":
             yp, up, vp = fused
-            cropped = (yp[:e - s, :oh, :ow],
-                       up[:e - s, :oh // 2, :ow // 2],
-                       vp[:e - s, :oh // 2, :ow // 2])
+            cropped = (yp[:e - s, :ohq, :owq],
+                       up[:e - s, :ohq // 2, :owq // 2],
+                       vp[:e - s, :ohq // 2, :owq // 2])
         else:
-            cropped = (fused[:e - s, :oh, :ow],)
+            cropped = (fused[:e - s, :ohq, :owq],)
         # request the d2h copies NOW so chunk k downloads while k+1 computes
         for c in cropped:
             try:
@@ -238,13 +253,16 @@ def composite_finish(state, timer=None) -> Tuple[np.ndarray, Canvas]:
     outs = jax.device_get(pending)
     if timer is not None:
         timer.mark("download")
+    # exact crop on host (device crops are 32-quantized, see composite_begin)
     if out_format == "yuv420":
         from stabstitch2_tpu.data.video_io import pack_i420_host
 
         frames = np.concatenate(
-            [pack_i420_host(y, u, v) for y, u, v in outs], axis=0)
+            [pack_i420_host(y[:, :oh, :ow], u[:, :oh // 2, :ow // 2],
+                            v[:, :oh // 2, :ow // 2]) for y, u, v in outs],
+            axis=0)
         return frames, canvas
-    return np.concatenate([o[0] for o in outs], axis=0), canvas
+    return np.concatenate([o[0][:, :oh, :ow] for o in outs], axis=0), canvas
 
 
 def composite_video(img1: np.ndarray, img2: np.ndarray,

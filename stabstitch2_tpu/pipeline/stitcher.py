@@ -77,7 +77,12 @@ class VideoStitcher:
     # variables replicated; GSPMD then partitions every phase (backbones,
     # smoothing, compositing) across chips with no code changes — the
     # reference (single-GPU, per-frame) has no counterpart. Frame counts
-    # not divisible by the axis stay replicated (correct, just not split).
+    # not divisible by the axis are padded at upload and cropped from the
+    # outputs (_put_frames), so dp inference always shards. DESIGN CHOICE:
+    # inference meshes are data-parallel only (init_stitcher builds tp=1)
+    # — at batch-per-chip >= 1 dp is communication-free, while TP would
+    # all-reduce every conv; TP exists for training (parallel/sharding.py)
+    # where optimizer+activation memory is the constraint.
     mesh: Optional["jax.sharding.Mesh"] = None
     # True: block on each phase so StitchResult carries the reference-style
     # per-phase fps/ms attribution (test_online_ssd.py:302,395,402,418).
@@ -136,11 +141,64 @@ class VideoStitcher:
         self._unpack_i420 = _unpack_i420
         self._smooth_phase = _smooth_phase
 
-    def _put_frames(self, x, dtype=np.uint8) -> jnp.ndarray:
+    def _smooth_bucketed(self, tmotion1, smotion1, tmotion2, smotion2,
+                         T: int, crop: bool = True):
+        """Transport + all-windows smoothing, ONE jitted program per bucket.
+
+        Motion inputs are [T, GH+1, GW+1, 2]; the frame dim is padded
+        (repeat-last) up to a 16-frame bucket so a dataset of
+        variable-length videos compiles one program per bucket, not per
+        length. Exact: frame t's smooth mesh depends only on frames <= t
+        (window t-6..t), so end-padding never reaches a kept frame.
+        ``crop=False`` returns the padded arrays (full arrays at Tb
+        frames, win_* at Tb-window+1 windows) for callers that mask
+        instead of slicing (the metric harness keeps everything jitted).
+        """
+        bucket = 16
+        # inputs may already be LONGER than T (dp inference pads the frame
+        # dim to the data-axis multiple, see _put_frames) — bucket from the
+        # array length, crop to the true T
+        L = int(tmotion1.shape[0])
+        Tb = -(-max(L, T) // bucket) * bucket
+        if Tb != L:
+            def _pad(x):
+                return jnp.concatenate(
+                    [x, jnp.tile(x[-1:], (Tb - L, 1, 1, 1))], axis=0)
+            tmotion1, smotion1 = _pad(tmotion1), _pad(smotion1)
+            tmotion2, smotion2 = _pad(tmotion2), _pad(smotion2)
+        smooth = self._smooth_phase(self.smooth_vars, tmotion1, smotion1,
+                                    tmotion2, smotion2)
+        if crop and Tb != T:
+            nw = T - self.config.window + 1
+            smooth = {k: (v[:nw] if k.startswith("win_") else v[:T])
+                      for k, v in smooth.items()}
+        return smooth
+
+    def motion_smooth(self, lo1j: jnp.ndarray, lo2j: jnp.ndarray,
+                      crop: bool = True):
+        """Phases 1-4 (spatial/temporal motion -> transport -> windowed
+        smoothing) exactly as the stitch path runs them: chunked batched
+        motion nets + one fused jitted smooth program per 16-frame bucket.
+        lo*: [T, mh, mw, 3] normalized [-1, 1] (device or host)."""
+        T = lo1j.shape[0]
+        smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
+        tmotion1 = self._motion.temporal(lo1j)
+        tmotion2 = self._motion.temporal(lo2j)
+        return self._smooth_bucketed(tmotion1, smotion1, tmotion2, smotion2,
+                                     T, crop=crop)
+
+    def _put_frames(self, x, dtype=np.uint8,
+                    pad_to_axis: bool = True) -> jnp.ndarray:
         """Upload a host frame array, sharded over the mesh's 'data' axis
-        when one is configured (leading/frame dim must divide evenly).
-        Arrays already on device pass through unchanged; dtype=None keeps
-        the input dtype (the compositor accepts float 0..255 frames)."""
+        when one is configured. Frame counts that don't divide the axis are
+        padded (repeat-last) up to the next multiple so dp inference ALWAYS
+        shards — callers track the true count and crop derived outputs
+        (padding never changes a kept frame: motion/smooth for frame t
+        depend only on frames <= t). ``pad_to_axis=False`` keeps the input
+        shape (stream chunks share one compiled shape; non-divisible chunks
+        stay replicated, still correct). Arrays already on device pass
+        through unchanged; dtype=None keeps the input dtype (the compositor
+        accepts float 0..255 frames)."""
         if not isinstance(x, np.ndarray):
             return jnp.asarray(x)
         x = np.ascontiguousarray(x, dtype or x.dtype)
@@ -148,6 +206,9 @@ class VideoStitcher:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
         dp = self.mesh.shape["data"]
+        if pad_to_axis and x.shape[0] % dp != 0:
+            pad = dp - x.shape[0] % dp
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], 0)
         spec = (P("data", *([None] * (x.ndim - 1)))
                 if x.shape[0] % dp == 0 else P())
         return jax.device_put(x, NamedSharding(self.mesh, spec))
@@ -188,8 +249,11 @@ class VideoStitcher:
             # per-chunk uploads with each chunk's preprocess+motion work
             # enqueued as its upload lands (overlaps h2d with compute)
             c = self.chunk
-            h1 = np.ascontiguousarray(hi1, dtype=np.uint8)
-            h2 = np.ascontiguousarray(hi2, dtype=np.uint8)
+            # dtype preserved (no silent uint8 truncation of float frames) —
+            # same contract as the bulk lo-provided branch; uint8/I420 input
+            # stays the fast path
+            h1 = np.ascontiguousarray(hi1)
+            h2 = np.ascontiguousarray(hi2)
 
             def upload_chunks(h):
                 out = []
@@ -199,7 +263,8 @@ class VideoStitcher:
                     if e - s < c:  # pad tail to the compiled chunk shape
                         piece = np.concatenate(
                             [piece, np.repeat(piece[-1:], c - (e - s), 0)], 0)
-                    out.append(self._put_frames(piece))
+                    out.append(self._put_frames(piece, dtype=None,
+                                                pad_to_axis=False))
                 return out
 
             chunks1 = upload_chunks(h1)
@@ -253,25 +318,10 @@ class VideoStitcher:
             tmotion2 = self._motion.temporal(lo2j)
             timer.mark("temporal", sync=snc((tmotion1[0], tmotion2[0])))
 
-        # phases 3+4: transport + batched sliding-window smoothing, one jit.
-        # Frame count is padded up to a bucket (repeat-last) so a dataset of
-        # variable-length videos compiles one program per bucket, not per
-        # length. Exact: frame t's smooth mesh depends only on frames <= t
-        # (window t-6..t), so end-padding never reaches a kept frame.
-        bucket = 16
-        Tb = -(-T // bucket) * bucket
-        if Tb != T:
-            def _pad(x):
-                return jnp.concatenate(
-                    [x, jnp.tile(x[-1:], (Tb - T, 1, 1, 1))], axis=0)
-            tmotion1, smotion1 = _pad(tmotion1), _pad(smotion1)
-            tmotion2, smotion2 = _pad(tmotion2), _pad(smotion2)
-        smooth = self._smooth_phase(self.smooth_vars, tmotion1, smotion1,
-                                    tmotion2, smotion2)
-        if Tb != T:
-            nw = T - self.config.window + 1
-            smooth = {k: (v[:nw] if k.startswith("win_") else v[:T])
-                      for k, v in smooth.items()}
+        # phases 3+4: transport + batched sliding-window smoothing, one jit
+        # per 16-frame bucket (see _smooth_bucketed)
+        smooth = self._smooth_bucketed(tmotion1, smotion1, tmotion2,
+                                       smotion2, T)
         timer.mark("smooth", sync=snc(smooth["smooth_mesh1"]))
 
         # phase 5: composite at native resolution — enqueue only; chunk
@@ -279,7 +329,7 @@ class VideoStitcher:
         state = composite_begin(hi1_dev, hi2_dev, smooth["smooth_mesh1"],
                                 smooth["smooth_mesh2"],
                                 config=self.config, chunk=self.chunk,
-                                model_size=(mh, mw))
+                                model_size=(mh, mw), n_frames=T)
         return _PendingStitch(state=state, smooth=smooth, timer=timer, T=T)
 
     def stitch_finish(self, pending: "_PendingStitch") -> StitchResult:

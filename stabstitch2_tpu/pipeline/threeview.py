@@ -35,22 +35,16 @@ from stabstitch2_tpu.ops.tps import (
     tps_warp_with_mask,
 )
 from stabstitch2_tpu.pipeline.compositor import compute_canvas, scale_meshes
-from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
-from stabstitch2_tpu.pipeline.transport import stitched_meshes, transport_both_views
 
 
 def pair_smooth_meshes(stitcher, lo_a, lo_b) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Phases 1-4 of the two-view pipeline -> (mesh_a, mesh_b) model-res."""
-    mh, mw = stitcher.model_h, stitcher.model_w
-    sm1, sm2 = stitcher._motion.spatial(lo_a, lo_b)
-    tm1 = stitcher._motion.temporal(lo_a)
-    tm2 = stitcher._motion.temporal(lo_b)
-    ts1, ts2 = transport_both_views(tm1, sm1, tm2, sm2, mh, mw)
-    smesh1 = stitched_meshes(sm1, mh, mw)
-    smesh2 = stitched_meshes(sm2, mh, mw)
-    smooth = smooth_all_windows(stitcher.smooth_net, stitcher.smooth_vars,
-                                smesh1, smesh2, ts1, ts2,
-                                window=stitcher.config.window)
+    """Phases 1-4 of the two-view pipeline -> (mesh_a, mesh_b) model-res.
+
+    Routes through the stitch path's fused transport+smooth program with
+    16-frame length bucketing (VideoStitcher.motion_smooth) — one compiled
+    program set shared with two-view stitching, no per-length recompiles.
+    """
+    smooth = stitcher.motion_smooth(lo_a, lo_b)
     return smooth["smooth_mesh1"], smooth["smooth_mesh2"]
 
 
@@ -109,16 +103,19 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
-                                             "fusion_mode", "grid_span",
+                                             "fusion_mode", "out_format",
                                              "coord_stride"))
 def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
-                           fusion_mode, grid_span, coord_stride: int = 1):
+                           fusion_mode, grid_span, out_format: str = "bgr",
+                           coord_stride: int = 1):
     """Warp+fuse one chunk of an N-view chain as ONE device program.
 
     imgs: [V, B, H, W, 3] uint8; meshes: [V, B, GH+1, GW+1, 2] hi-res.
     All V*B warps run as a single batched gather (the 2-view compositor's
     design, generalized); the cascade fusion loops over the STATIC view
-    axis. Returns [B, oh, ow, 3] uint8."""
+    axis. Returns [B, oh, ow, 3] uint8 for out_format='bgr', or uint8
+    I420 planes (Y, U, V) for 'yuv420' — 1.5 bytes/px on the dominant
+    device->host leg, same as the 2-view compositor."""
     V, B, H, W, _ = imgs.shape
     oh, ow = out_size
     span_h, span_w = grid_span or out_size
@@ -151,30 +148,73 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
     # clip+cast on device (average_fusion can overshoot when two warped
     # values nearly cancel — same formula as the reference,
     # test_online_ssd.py:142); uint8 also makes the download 4x smaller
-    return jnp.clip(acc, 0.0, 255.0).astype(jnp.uint8)
+    fused = jnp.clip(acc, 0.0, 255.0)
+    if out_format == "yuv420":
+        from stabstitch2_tpu.ops.yuv import bgr_to_yuv420
+
+        return bgr_to_yuv420(fused)
+    return fused.astype(jnp.uint8)
 
 
-def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
-                    config, chunk: int = 8) -> np.ndarray:
-    """Warp every view to the global canvas and cascade the fusion."""
-    T, H, W, _ = images[0].shape
+def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
+                          chunk: int = 8):
+    """Enqueue the whole N-view composite; d2h copies requested async.
+
+    images: list of V [T, H, W, 3] uint8 arrays — device arrays (the fast
+    path: frames crossed the link once at upload) or host numpy (uploaded
+    per chunk so only chunk x V images live in HBM at a time). Returns an
+    opaque state for :func:`composite_chain_finish` — chunk k's download
+    drains while chunk k+1 computes, and callers stitching a dataset can
+    begin the next video before finishing this one (the 2-view
+    begin/finish design, cli.cmd_stitch).
+    """
+    T, H, W = images[0].shape[0], images[0].shape[1], images[0].shape[2]
+    out_format = getattr(config, "download_format", "bgr")
     stacked = jnp.concatenate(meshes, axis=0)  # all views' frames
     canvas = compute_canvas(stacked, stacked, config.canvas_bucket)
-    offset = jnp.asarray([canvas.x_min, canvas.y_min], jnp.float32)
-    oh, ow = canvas.pad_h, canvas.pad_w
+    # even output dims for 4:2:0 (mp4 encoders require them anyway)
+    oh = canvas.out_h if out_format == "bgr" else canvas.out_h // 2 * 2
+    ow = canvas.out_w if out_format == "bgr" else canvas.out_w // 2 * 2
+    # traced span: one compiled composite program per padded bucket across
+    # every true canvas extent (see compositor._composite_chunk)
+    grid_span = (jnp.float32(canvas.out_h), jnp.float32(canvas.out_w))
+    if (oh, ow) != (canvas.out_h, canvas.out_w):
+        import dataclasses as _dc
 
-    # images stay on host; only one chunk x V views lives in HBM at a time
-    host = [np.ascontiguousarray(img, np.uint8) for img in images]
+        canvas = _dc.replace(canvas, out_h=oh, out_w=ow)
+    if canvas.pad_h > config.max_canvas_h or canvas.pad_w > config.max_canvas_w:
+        raise ValueError(
+            f"canvas {canvas.pad_h}x{canvas.pad_w} exceeds configured max "
+            f"{config.max_canvas_h}x{config.max_canvas_w}")
+    offset = jnp.asarray([canvas.x_min, canvas.y_min], jnp.float32)
+    # 32-quantized device crops; exact crop on host at finish (shared
+    # rationale with composite_begin)
+    ohq = min(-(-oh // 32) * 32, canvas.pad_h)
+    owq = min(-(-ow // 32) * 32, canvas.pad_w)
+
+    host = [np.ascontiguousarray(img, np.uint8)
+            if isinstance(img, np.ndarray) else img for img in images]
     mesh_all = jnp.stack(meshes)
-    outs = []
+    pending = []
     for s in range(0, T, chunk):
         e = min(s + chunk, T)
         pad = chunk - (e - s)
-        iv_np = np.stack([h[s:e] for h in host])
-        if pad:  # keep one compiled program per canvas bucket
-            iv_np = np.concatenate(
-                [iv_np, np.repeat(iv_np[:, -1:], pad, axis=1)], axis=1)
-        iv = jnp.asarray(iv_np)
+        if isinstance(host[0], np.ndarray):
+            # host frames: ONE stacked upload per chunk (only chunk x V
+            # images live in HBM at a time)
+            iv_np = np.stack([h[s:e] for h in host])
+            if pad:  # keep one compiled program per canvas bucket
+                iv_np = np.concatenate(
+                    [iv_np, np.repeat(iv_np[:, -1:], pad, axis=1)], axis=1)
+            iv = jnp.asarray(iv_np)
+        else:
+            # device frames: pure slicing, no host round trip
+            pieces = [h[s:e] for h in host]
+            if pad:
+                pieces = [jnp.concatenate(
+                    [p, jnp.tile(p[-1:], (pad, 1, 1, 1))], 0)
+                    for p in pieces]
+            iv = jnp.stack(pieces)
         mv = mesh_all[:, s:e]
         if pad:
             mv = jnp.concatenate([mv, jnp.tile(mv[:, -1:],
@@ -183,34 +223,99 @@ def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
         # bucket — TPS is only similarity-invariant, so the padded extent
         # must not leak in (same invariant as the 2-view compositor)
         fused = _composite_chain_chunk(
-            iv, mv, offset, (oh, ow), config.warp_mode, config.fusion_mode,
-            grid_span=(canvas.out_h, canvas.out_w),
+            iv, mv, offset, (canvas.pad_h, canvas.pad_w), config.warp_mode,
+            config.fusion_mode, grid_span=grid_span, out_format=out_format,
             coord_stride=getattr(config, "coord_stride", 1))
-        outs.append(np.asarray(
-            fused[:e - s, :canvas.out_h, :canvas.out_w]))
-    return np.concatenate(outs, 0)
+        if out_format == "yuv420":
+            yp, up, vp = fused
+            cropped = (yp[:e - s, :ohq, :owq],
+                       up[:e - s, :ohq // 2, :owq // 2],
+                       vp[:e - s, :ohq // 2, :owq // 2])
+        else:
+            cropped = (fused[:e - s, :ohq, :owq],)
+        for c in cropped:  # request d2h NOW: chunk k drains under k+1
+            try:
+                c.copy_to_host_async()
+            except AttributeError:
+                pass
+        pending.append(cropped)
+    return pending, canvas, out_format
+
+
+def composite_chain_finish(state) -> Tuple[np.ndarray, str]:
+    """Collect frames from :func:`composite_chain_begin`.
+
+    Returns (frames, frame_format): uint8 BGR [T,oh,ow,3] for 'bgr', or
+    packed I420 [T, oh*3//2, ow] for 'i420'."""
+    pending, canvas, out_format = state
+    oh, ow = canvas.out_h, canvas.out_w
+    outs = jax.device_get(pending)
+    # exact crop on host (device crops are 32-quantized)
+    if out_format == "yuv420":
+        from stabstitch2_tpu.data.video_io import pack_i420_host
+
+        return (np.concatenate(
+            [pack_i420_host(y[:, :oh, :ow], u[:, :oh // 2, :ow // 2],
+                            v[:, :oh // 2, :ow // 2]) for y, u, v in outs],
+            axis=0), "i420")
+    return np.concatenate([o[0][:, :oh, :ow] for o in outs], axis=0), "bgr"
+
+
+def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
+                    config, chunk: int = 8) -> np.ndarray:
+    """Warp every view to the global canvas and cascade the fusion."""
+    frames, _ = composite_chain_finish(
+        composite_chain_begin(images, meshes, config, chunk=chunk))
+    return frames
+
+
+def stitch_multi_begin(stitcher, his: List[np.ndarray]):
+    """Enqueue an N-view video's full pipeline; return pending state.
+
+    his: list of V host arrays — uint8 BGR [T,H,W,3] or packed I420
+    [T, H*3//2, W] (1.5 bytes/px, the thinnest upload). Each view crosses
+    the host->device link ONCE as uint8; the model-resolution stream is
+    derived on device (resize+normalize), exactly like the 2-view
+    stitch_begin — the reference's three-view driver re-reads and
+    re-uploads both streams (test_online_tra_threeview.py:154-210).
+    """
+    mh, mw = stitcher.model_h, stitcher.model_w
+    T = min(h.shape[0] for h in his)
+    dev, los = [], []
+    for h in his:
+        d = stitcher._put_frames(h[:T])
+        if d.ndim == 3:  # packed I420 -> uint8 BGR on device
+            d = stitcher._unpack_i420(d)
+        dev.append(d)
+        los.append(stitcher._preprocess(d, mh, mw))
+    pair_meshes = [pair_smooth_meshes(stitcher, los[j], los[j + 1])
+                   for j in range(len(dev) - 1)]
+    H, W = int(dev[0].shape[1]), int(dev[0].shape[2])
+    # chain_meshes pulls mesh extents to host (canvas sizing needs static
+    # shapes) — the one sync point, on tiny arrays
+    meshes = chain_meshes(pair_meshes, H, W, mh, mw)
+    return composite_chain_begin(dev, meshes, stitcher.config,
+                                 chunk=stitcher.chunk)
+
+
+def stitch_multi_finish(state) -> Tuple[np.ndarray, str]:
+    """Collect (frames, frame_format) from :func:`stitch_multi_begin`."""
+    return composite_chain_finish(state)
 
 
 def stitch_multi_view(stitcher, video_dir: str) -> np.ndarray:
-    """Stitch video1..videoN subdirectories into one panoramic video."""
+    """Stitch video1..videoN subdirectories into one panoramic video.
+
+    Returns uint8 BGR frames (or packed I420 when
+    config.download_format == 'yuv420').
+    """
     from stabstitch2_tpu.data.video_io import load_view
 
     views = sorted(d for d in os.listdir(video_dir)
                    if d.startswith("video")
                    and os.path.isdir(os.path.join(video_dir, d)))
     assert len(views) >= 2, f"need >=2 views, found {views}"
-    his, los = [], []
-    for v in views:
-        hi, lo = load_view(video_dir, v, (stitcher.model_h, stitcher.model_w))
-        his.append(hi)
-        los.append(lo)
-    T = min(len(h) for h in his)
-    his = [h[:T] for h in his]
-    los = [jnp.asarray(l[:T]) for l in los]
-
-    pair_meshes = [pair_smooth_meshes(stitcher, los[j], los[j + 1])
-                   for j in range(len(views) - 1)]
-    H, W = his[0].shape[1:3]
-    meshes = chain_meshes(pair_meshes, H, W, stitcher.model_h,
-                          stitcher.model_w)
-    return composite_chain(his, meshes, stitcher.config, chunk=stitcher.chunk)
+    his = [load_view(video_dir, v, (stitcher.model_h, stitcher.model_w),
+                     want_hi=True)[0] for v in views]
+    frames, _ = stitch_multi_finish(stitch_multi_begin(stitcher, his))
+    return frames

@@ -257,6 +257,28 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
                 state, metrics = temporal_train_step(state, *batch, net, cfg)
             if bi % 100 == 0:
                 _log(writer, metrics, int(state.step))
+            # image panels every 300 iters (reference
+            # TemporalWarp/Codes/train_ssd.py:149-152: img_t0 / img_t1 /
+            # the TPS-warped frame t)
+            if writer is not None and int(state.step) % 300 == 0:
+                from stabstitch2_tpu.train.temporal import (
+                    temporal_train_outputs,
+                )
+
+                out, _ = temporal_train_outputs(
+                    net, {"params": state.params,
+                          "batch_stats": state.batch_stats},
+                    jnp.asarray(prev[:1]), jnp.asarray(nxt[:1]),
+                    train=False)
+                panels = {
+                    "img_t0": np.asarray(prev[0], np.float32) / 255.0,
+                    "img_t1": np.asarray(nxt[0], np.float32) / 255.0,
+                    "warp_mesh": np.asarray(
+                        (out["output_mesh"][0, ..., :3] + 1.0) / 2.0),
+                }
+                for key, img in panels.items():
+                    writer.add_image(key, np.clip(img, 0, 1),
+                                     int(state.step), dataformats="HWC")
         print(f"[temporal] epoch {epoch + 1}/{cfg.max_epoch} "
               f"loss={float(metrics['total']):.4f} "
               f"({time.time() - t0:.1f}s)")

@@ -154,3 +154,117 @@ class TestStabilityOracle:
         expected += (l2(p[2:-4], mid) + l2(p[4:-2], mid)) * 0.9
         got = float(stability_score(jnp.asarray(path)))
         np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+class TestMaskedScores:
+    """Masked (padded-bucket) scores == eager scores on the true prefix."""
+
+    def test_stability_masked_equals_sliced(self):
+        from stabstitch2_tpu.metrics.scores import stability_score_masked
+
+        rng = np.random.default_rng(11)
+        full = rng.normal(0, 1, (16, 7, 9, 2)).astype(np.float32)
+        for n in (9, 12, 16):
+            path = np.concatenate(
+                [full[:n], np.tile(full[n - 1:n], (16 - n, 1, 1, 1))], 0)
+            got = float(stability_score_masked(jnp.asarray(path),
+                                               jnp.int32(n)))
+            want = float(stability_score(jnp.asarray(full[:n])))
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_distortion_masked_equals_sliced(self):
+        from stabstitch2_tpu.metrics.scores import (
+            distortion_score,
+            distortion_score_masked,
+        )
+
+        rng = np.random.default_rng(12)
+        base = np.stack(np.meshgrid(np.linspace(0, 480, 9),
+                                    np.linspace(0, 360, 7)), -1)
+        mesh = (base[None] + rng.normal(0, 6, (16, 7, 9, 2))).astype(
+            np.float32)
+        for n in (7, 11, 16):
+            got = float(distortion_score_masked(jnp.asarray(mesh),
+                                                jnp.int32(n)))
+            want = float(distortion_score(jnp.asarray(mesh[:n])))
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+_HARNESS_STITCHER = []
+
+
+class TestMetricHarnessBucketed:
+    """evaluate_video: parity with the eager path + one program per bucket."""
+
+    def _stitcher(self):
+        # one shared 360x480 stitcher across the class: building (and
+        # compiling for) a second one doubles this module's wall time
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+
+        if not _HARNESS_STITCHER:
+            _HARNESS_STITCHER.append(init_stitcher(rng_seed=0, chunk=8))
+        return _HARNESS_STITCHER[0]
+
+    def _clip(self, T, seed):
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synthetic import make_two_view_clip
+
+        v1, v2 = make_two_view_clip(num_frames=T, height=360, width=480,
+                                    seed=seed)
+        return (v1.astype(np.float32) / 127.5 - 1.0,
+                v2.astype(np.float32) / 127.5 - 1.0)
+
+    def test_matches_eager_reference_path(self):
+        from stabstitch2_tpu.metrics.harness import evaluate_video
+        from stabstitch2_tpu.metrics.psnr_ssim import psnr as _psnr
+        from stabstitch2_tpu.metrics.psnr_ssim import ssim as _ssim
+        from stabstitch2_tpu.metrics.scores import distortion_score
+        from stabstitch2_tpu.ops.mesh import (mesh_points, normalize_mesh,
+                                              rigid_mesh)
+        from stabstitch2_tpu.ops.tps import tps_warp_with_mask
+
+        st = self._stitcher()
+        lo1, lo2 = self._clip(10, seed=5)  # bucket pads 10 -> 16
+        got = evaluate_video(st, lo1, lo2)
+
+        # independent eager computation on the CROPPED smooth outputs
+        smooth = st.motion_smooth(jnp.asarray(lo1), jnp.asarray(lo2))
+        ori, sm = continue_paths(smooth["win_ori_path2"],
+                                 smooth["win_smooth_path2"])
+        want_stab = float(stability_score(sm))
+        want_dist = float(distortion_score(smooth["smooth_mesh2"]))
+        H, W = 360, 480
+        rigid_pts = mesh_points(normalize_mesh(rigid_mesh(H, W), H, W))
+        ps, ss = [], []
+        for t in range(10):
+            def warp(lo, mesh):
+                src = mesh_points(normalize_mesh(mesh[t:t + 1], H, W))
+                tgt = jnp.broadcast_to(rigid_pts[None], src.shape)
+                return tps_warp_with_mask(
+                    (jnp.asarray(lo[t:t + 1]) + 1) * 127.5, src, tgt, (H, W))
+            w1, m1 = warp(lo1, smooth["smooth_mesh1"])
+            w2, m2 = warp(lo2, smooth["smooth_mesh2"])
+            ov = (m1 * m2)[..., None]
+            ps.append(float(_psnr((w1 * ov)[0], (w2 * ov)[0])))
+            ss.append(float(_ssim((w1 * ov)[0], (w2 * ov)[0])))
+        np.testing.assert_allclose(got["stability"], want_stab, rtol=1e-4)
+        np.testing.assert_allclose(got["distortion"], want_dist, rtol=1e-4)
+        np.testing.assert_allclose(got["psnr"], np.mean(ps), rtol=1e-4)
+        np.testing.assert_allclose(got["ssim"], np.mean(ss), rtol=1e-4)
+
+    def test_no_recompile_across_lengths(self):
+        from stabstitch2_tpu.metrics import harness
+
+        st = self._stitcher()
+        lo1, lo2 = self._clip(10, seed=6)
+        harness.evaluate_video(st, lo1, lo2)  # warms the 16-bucket programs
+        sizes = (harness._warp_psnr_ssim_chunk._cache_size(),
+                 harness._stability_distortion._cache_size(),
+                 st._smooth_phase._cache_size())
+        lo1b, lo2b = self._clip(13, seed=7)  # same bucket, new length
+        harness.evaluate_video(st, lo1b, lo2b)
+        after = (harness._warp_psnr_ssim_chunk._cache_size(),
+                 harness._stability_distortion._cache_size(),
+                 st._smooth_phase._cache_size())
+        assert sizes == after, f"recompiled across lengths: {sizes} -> {after}"
