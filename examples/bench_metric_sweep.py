@@ -1,0 +1,69 @@
+"""Dataset-scale `cli metric` sweep on the real TPU (round-3 validation).
+
+Builds a synthetic dataset of >=10 videos with VARIED lengths (so any
+per-length recompile would show up as wall time), evaluates it through the
+production harness, and prints per-video wall times + the program-cache
+sizes before/after to prove one compiled program set serves every length.
+
+    JAX_COMPILATION_CACHE_DIR=/tmp/jax_tpu_cache python examples/bench_metric_sweep.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main():
+    import numpy as np
+
+    from stabstitch2_tpu.metrics import harness
+    from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+    from synthetic import make_two_view_clip
+
+    n_videos = int(os.environ.get("SWEEP_VIDEOS", "10"))
+    lengths = [17 + 3 * i for i in range(n_videos)]  # 17..44, varied
+    st = init_stitcher(rng_seed=0, chunk=8)
+
+    clips = []
+    for i, T in enumerate(lengths):
+        v1, v2 = make_two_view_clip(num_frames=T, height=360, width=480,
+                                    seed=10 + i)
+        clips.append((v1.astype(np.float32) / 127.5 - 1.0,
+                      v2.astype(np.float32) / 127.5 - 1.0))
+
+    # warmup: compile the per-bucket program set once (first video of each
+    # DISTINCT 16-bucket; lengths within a bucket share programs)
+    t0 = time.time()
+    seen = set()
+    for (lo1, lo2), T in zip(clips, lengths):
+        b = -(-T // 16) * 16
+        if b not in seen:
+            seen.add(b)
+            harness.evaluate_video(st, lo1, lo2)
+    print(f"warmup (compile, buckets {sorted(seen)}) {time.time() - t0:.1f}s")
+    caches = lambda: (harness._warp_psnr_ssim_chunk._cache_size(),  # noqa
+                      harness._stability_distortion._cache_size(),
+                      st._smooth_phase._cache_size())
+    c0 = caches()
+
+    t0 = time.time()
+    total_frames = 0
+    for (lo1, lo2), T in zip(clips, lengths):
+        tv = time.time()
+        m = harness.evaluate_video(st, lo1, lo2)
+        total_frames += T
+        print(f"  T={T:3d}  {time.time() - tv:6.2f}s  "
+              f"psnr={m['psnr']:.2f} stab={m['stability']:.3f}")
+    wall = time.time() - t0
+    c1 = caches()
+    print(f"sweep: {n_videos} videos / {total_frames} frames in {wall:.1f}s "
+          f"= {total_frames / wall:.1f} frames/s")
+    print(f"program caches before/after sweep: {c0} -> {c1} "
+          f"({'NO recompiles' if c0 == c1 else 'RECOMPILED'})")
+
+
+if __name__ == "__main__":
+    main()

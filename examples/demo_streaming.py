@@ -38,20 +38,28 @@ def main():
     # the device->host bytes — the right choice when feeding an encoder)
     online = OnlineStitcher(st, emit_format="i420")
 
-    emitted, lat = [], []
-    for t in range(T):
-        t0 = time.time()
-        outs = online.push(v1[t], v2[t])
-        lat.append((time.time() - t0) * 1e3)
-        emitted.extend(outs)
+    def run_pass():
+        online.reset()
+        emitted, lat = [], []
+        for t in range(T):
+            t0 = time.time()
+            outs = online.push(v1[t], v2[t])
+            lat.append((time.time() - t0) * 1e3)
+            emitted.extend(outs)
+        return emitted, lat
+
+    emitted, lat = run_pass()       # cold: includes compiles
+    emitted, lat = run_pass()       # warm: the numbers that matter
 
     write_video(os.path.join(out, "streamed.mp4"), np.stack(emitted),
                 frame_format="i420")
-    steady = lat[8:] or lat
+    window = online.s.config.window
+    steady = lat[window + 1:] or lat
     print(f"emitted {len(emitted)}/{T} panoramas "
-          f"(latency {online.s.config.window - 1} frames by construction)")
-    print(f"push wall time: median {np.median(steady):.0f} ms "
-          f"(includes first-call compiles on a cold cache)")
+          f"(latency {window - 1} frames by construction)")
+    print(f"first-window burst (push #{window}, emits {window} frames): "
+          f"{lat[window - 1]:.0f} ms")
+    print(f"steady push wall time: median {np.median(steady):.0f} ms")
     if online.reanchor_frames:
         print("canvas re-anchored at frames:", online.reanchor_frames)
     print("outputs in", out)

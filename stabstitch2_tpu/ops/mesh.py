@@ -28,18 +28,29 @@ def rigid_mesh(height: float, width: float, *, grid_h: int = GRID_H,
     return jnp.stack([gx, gy], axis=-1)
 
 
-def normalize_mesh(mesh: jnp.ndarray, height: float, width: float) -> jnp.ndarray:
+def normalize_mesh(mesh: jnp.ndarray, height, width) -> jnp.ndarray:
     """Pixel coords -> [-1, 1] with the ``x*2/W - 1`` convention.
 
     Shape-preserving (callers flatten to point lists themselves).
+    ``height``/``width`` may be python scalars OR traced scalars (the
+    composite passes the true canvas extent as a traced operand so one
+    compiled program covers every extent in a pad bucket).
     """
-    scale = jnp.array([2.0 / float(width), 2.0 / float(height)], mesh.dtype)
+    if isinstance(width, (int, float)):
+        scale = jnp.array([2.0 / width, 2.0 / height], mesh.dtype)
+    else:
+        scale = jnp.stack([2.0 / jnp.asarray(width, mesh.dtype),
+                           2.0 / jnp.asarray(height, mesh.dtype)])
     return mesh * scale - 1.0
 
 
-def denormalize_mesh(mesh: jnp.ndarray, height: float, width: float) -> jnp.ndarray:
+def denormalize_mesh(mesh: jnp.ndarray, height, width) -> jnp.ndarray:
     """Inverse of :func:`normalize_mesh` (reference ``recover_mesh``)."""
-    scale = jnp.array([float(width) / 2.0, float(height) / 2.0], mesh.dtype)
+    if isinstance(width, (int, float)):
+        scale = jnp.array([width / 2.0, height / 2.0], mesh.dtype)
+    else:
+        scale = jnp.stack([jnp.asarray(width, mesh.dtype) / 2.0,
+                           jnp.asarray(height, mesh.dtype) / 2.0])
     return (mesh + 1.0) * scale
 
 

@@ -215,11 +215,11 @@ class OnlineStitcher:
         self.reanchor_frames.append(self._t)
 
     def _enqueue_composite(self, hi1, hi2, m1, m2):
-        """Dispatch ONE frame's composite (B=1) against the CURRENT canvas
-        and return (cropped device planes, device extents) without any host
+        """Dispatch one BATCH of composites against the CURRENT canvas and
+        return (cropped device planes, device extents) without any host
         sync — the caller fetches everything together (one round trip).
-        Keeping B=1 means the steady state and the first-window burst share
-        a single compiled composite program."""
+        Two compiled programs exist per stream: B=1 (steady state, every
+        push) and B=WINDOW (the first-window burst, once)."""
         c = self.canvas
         fused = _composite_chunk(
             jnp.asarray(hi1), jnp.asarray(hi2), m1, m2,
@@ -237,6 +237,11 @@ class OnlineStitcher:
         m = jnp.stack([m1, m2])
         ext = jnp.stack([m[..., 0].min(), m[..., 0].max(),
                          m[..., 1].min(), m[..., 1].max()])
+        for p in planes:  # start d2h under any remaining compute
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                pass
         return planes, ext
 
     def _emit_hw(self):
@@ -270,24 +275,24 @@ class OnlineStitcher:
         m2 = scale_meshes(meshes2, H, W, self.mh, self.mw)
         if self.canvas is None:
             self._establish_canvas(m1, m2, H, W)
-        # enqueue B single-frame composites (no sync between them — same
-        # compiled B=1 program as steady state) and fetch everything with
-        # ONE device_get
-        def enqueue_all():
-            return [self._enqueue_composite(his1[k:k + 1], his2[k:k + 1],
-                                            m1[k:k + 1], m2[k:k + 1])
-                    for k in range(B)]
-
-        pend = enqueue_all()
+        # ONE batched dispatch + ONE fetch, whatever B is. Through a
+        # remote tunnel each dispatch is a ~100 ms round trip, so the
+        # first-window burst (B=7) as per-frame dispatches would cost ~7
+        # round trips — batching it is most of the burst. Cost: a second
+        # compiled composite program (B=WINDOW, used once per stream) next
+        # to the steady-state B=1 program.
+        pend = [self._enqueue_composite(his1, his2, m1, m2)]
         fetched = jax.device_get(pend)
         exts = np.stack([e for _, e in fetched])
         ext = np.array([exts[:, 0].min(), exts[:, 1].max(),
                         exts[:, 2].min(), exts[:, 3].max()])
         if not self._ext_fits(ext):
             self._reanchor(m1, m2)
-            fetched = jax.device_get(enqueue_all())
-        return [self._pack(tuple(p[0] for p in planes))
-                for planes, _ in fetched]
+            fetched = jax.device_get(
+                [self._enqueue_composite(his1, his2, m1, m2)])
+        return [self._pack(tuple(p[i] for p in planes))
+                for planes, _ in fetched
+                for i in range(planes[0].shape[0])]
 
     def _composite_one(self, hi1, hi2, mesh1, mesh2) -> np.ndarray:
         return self._composite_many(np.asarray(hi1)[None],

@@ -182,8 +182,7 @@ class VideoStitcher:
         lo*: [T, mh, mw, 3] normalized [-1, 1] (device or host)."""
         T = lo1j.shape[0]
         smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
-        tmotion1 = self._motion.temporal(lo1j)
-        tmotion2 = self._motion.temporal(lo2j)
+        tmotion1, tmotion2 = self._motion.temporal_pair(lo1j, lo2j)
         return self._smooth_bucketed(tmotion1, smotion1, tmotion2, smotion2,
                                      T, crop=crop)
 

@@ -16,15 +16,35 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent compilation cache makes repeated test runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# Persistent compilation cache makes repeated test runs fast. The dir is
+# keyed by a host-CPU fingerprint: XLA:CPU AOT executables embed machine
+# features, and loading an entry cached on a DIFFERENT host (sandboxes
+# migrate) aborts the process at execute time (cpu_aot_loader.cc
+# "machine type ... doesn't match", then SIGILL/abort).
+
+
+def _host_cache_dir(prefix: str) -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+
+        flags = platform.processor() or "unknown"
+    return f"{prefix}_{hashlib.sha1(flags.encode()).hexdigest()[:10]}"
+
+
+_CACHE_DIR = _host_cache_dir("/tmp/jax_test_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402  (after env setup on purpose)
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib

@@ -299,3 +299,100 @@ class TestChainFusionModes:
             assert out.shape[0] == T
             assert out.shape[2] > W + 30  # panorama wider than one view
             assert np.isfinite(out.astype(np.float32)).all()
+
+
+@pytest.mark.integration
+class TestMultiViewProduction:
+    """N-view production path: device uploads, formats, no-recompile."""
+
+    def _views(self, T, mh=128, mw=160, seed=0):
+        from synthetic import _texture
+
+        rng = np.random.default_rng(seed)
+        pano = _texture(mh + 16, mw * 2 + 32, seed=9)
+        views = []
+        for k in range(3):
+            x0 = k * (mw // 2)
+            frames = []
+            for _ in range(T):
+                jit = rng.integers(0, 8, 2)
+                f = pano[jit[0]:jit[0] + mh, x0 + jit[1]:x0 + jit[1] + mw]
+                frames.append(f.astype(np.uint8))  # _texture is [H, W, 3]
+            views.append(np.stack(frames))
+        return views
+
+    def _stitcher(self, **cfg_kw):
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+
+        return init_stitcher(rng_seed=0, model_h=128, model_w=160, chunk=4,
+                             config=StitchConfig(canvas_bucket=32, **cfg_kw))
+
+    def test_begin_finish_formats_and_no_recompile(self):
+        import jax.numpy as _jnp
+
+        from stabstitch2_tpu.data.video_io import bgr_to_i420
+        from stabstitch2_tpu.ops.yuv import i420_to_bgr as _i420_to_bgr
+
+        def i420_to_bgr(packed):
+            return np.asarray(_i420_to_bgr(_jnp.asarray(packed)))
+        from stabstitch2_tpu.pipeline import threeview as tv
+
+        st = self._stitcher()
+        views8 = self._views(8)
+        frames_bgr, fmt = tv.stitch_multi_finish(
+            tv.stitch_multi_begin(st, views8))
+        assert fmt == "bgr" and frames_bgr.shape[0] == 8
+        assert frames_bgr.shape[2] > 160  # panorama wider than one view
+        assert np.isfinite(frames_bgr.astype(np.float32)).all()
+
+        # packed-I420 uploads land on the same geometry (chroma roundtrip
+        # tolerance, as the 2-view test)
+        frames_i420_up, _ = tv.stitch_multi_finish(
+            tv.stitch_multi_begin(st, [bgr_to_i420(v) for v in views8]))
+        assert frames_i420_up.shape == frames_bgr.shape
+        d = np.abs(frames_i420_up.astype(np.float32)
+                   - frames_bgr.astype(np.float32))
+        assert d.mean() < 8.0
+
+        # yuv420 downloads unpack to the BGR path's pixels (codec roundtrip)
+        st_yuv = self._stitcher(download_format="yuv420")
+        packed, fmt = tv.stitch_multi_finish(
+            tv.stitch_multi_begin(st_yuv, views8))
+        assert fmt == "i420"
+        unpacked = i420_to_bgr(packed)
+        hh = min(unpacked.shape[1], frames_bgr.shape[1])
+        ww = min(unpacked.shape[2], frames_bgr.shape[2])
+        d = np.abs(unpacked[:, :hh, :ww].astype(np.float32)
+                   - frames_bgr[:, :hh, :ww].astype(np.float32))
+        assert d.mean() < 8.0
+
+        # a different length in the same 16-bucket must not recompile the
+        # fused smooth phase or the composite chunk program
+        before = (st._smooth_phase._cache_size(),
+                  tv._composite_chain_chunk._cache_size())
+        frames11, _ = tv.stitch_multi_finish(
+            tv.stitch_multi_begin(st, self._views(11, seed=3)))
+        assert frames11.shape[0] == 11
+        after = (st._smooth_phase._cache_size(),
+                 tv._composite_chain_chunk._cache_size())
+        assert before == after, f"recompiled across lengths: {before}->{after}"
+
+    def test_cli_stitch_multi_dataset_dir(self, tmp_path):
+        import cv2
+
+        from stabstitch2_tpu.cli import main as cli_main
+
+        root = tmp_path / "ds"
+        for name, seed in (("clipA", 0), ("clipB", 1)):
+            for k, view in enumerate(self._views(8, seed=seed)):
+                d = root / name / f"video{k + 1}"
+                d.mkdir(parents=True)
+                for t in range(view.shape[0]):
+                    cv2.imwrite(str(d / f"{t:04d}.jpg"), view[t])
+        out = tmp_path / "out"
+        rc = cli_main(["stitch-multi", "--video_dir", str(root),
+                       "--output", str(out)])
+        assert rc == 0
+        assert sorted(p.name for p in out.iterdir()) == ["clipA.mp4",
+                                                         "clipB.mp4"]
