@@ -55,6 +55,13 @@ def main():
     pack = (lambda v: v) if os.environ.get("BENCH_UPLOAD") == "bgr" \
         else bgr_to_i420
 
+    # TRUE device execution, measured FIRST: after the throughput passes
+    # the relay link is saturated/throttled for the process lifetime
+    # (CLAUDE.md), which inflates even enqueue-only micro-timings ~50x —
+    # a fresh command stream is the only clean window. Doubles as the
+    # compile warmup for the motion/smooth/composite programs.
+    dev = measure_device_compute(stitcher, frames=frames, chunk=chunk)
+
     # warmup: compile every program (spatial/temporal/smooth/composite)
     # for every clip's canvas bucket
     for v1, v2 in clips:
@@ -115,7 +122,6 @@ def main():
     n_passes = int(os.environ.get("BENCH_PASSES", "3"))
     passes = [sustained_pass() for _ in range(n_passes)]
     fps, total_fps = max(passes)
-    dev = measure_device_compute(stitcher, frames=frames, chunk=chunk)
     print(json.dumps({
         "metric": "two_video_stitch_fps_360x480",
         "value": round(fps, 2),

@@ -31,8 +31,7 @@ def main():
     for i, T in enumerate(lengths):
         v1, v2 = make_two_view_clip(num_frames=T, height=360, width=480,
                                     seed=10 + i)
-        clips.append((v1.astype(np.float32) / 127.5 - 1.0,
-                      v2.astype(np.float32) / 127.5 - 1.0))
+        clips.append((v1, v2))  # uint8: 1 byte/px uploads, device-normalized
 
     # warmup: compile the per-bucket program set once (first video of each
     # DISTINCT 16-bucket; lengths within a bucket share programs)

@@ -31,7 +31,8 @@ def list_frames(video_dir: str, view: str) -> List[str]:
 def load_view(video_dir: str, view: str,
               model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
               use_native: bool = True,
-              want_hi: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+              want_hi: bool = True,
+              normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """Load one view. Returns (hires_uint8 [T,H,W,3], model_float [-1,1]).
 
     Uses the native threaded decoder (native/frameloader.cpp) when built,
@@ -40,6 +41,10 @@ def load_view(video_dir: str, view: str,
     ``want_hi=False`` returns (None, lo) without materializing the
     full-resolution frames — motion export and the metric harness only
     consume the model-resolution stream, and hi-res video is ~GBs.
+    ``normalize=False`` returns the model stream as uint8 (1 byte/px):
+    the metric harness uploads it raw and normalizes ON DEVICE, cutting
+    the host->device bytes 4x (the dominant metric-run cost on a
+    bandwidth-bound link).
     """
     paths = list_frames(video_dir, view)
     if not paths:
@@ -52,6 +57,8 @@ def load_view(video_dir: str, view: str,
             try:
                 hi, lo_u8 = native.decode_batch(paths, lo_size=(mh, mw),
                                                 want_hi=want_hi)
+                if not normalize:
+                    return hi, lo_u8
                 return hi, lo_u8.astype(np.float32) / 127.5 - 1.0
             except (IOError, RuntimeError):
                 pass  # non-jpeg / size-mismatch: fall back to cv2
@@ -62,17 +69,21 @@ def load_view(video_dir: str, view: str,
             raise IOError(f"failed to read {p}")
         if want_hi:
             hi.append(img)
-        small = cv2.resize(img, (mw, mh)).astype(np.float32) / 127.5 - 1.0
+        small = cv2.resize(img, (mw, mh))
+        if normalize:
+            small = small.astype(np.float32) / 127.5 - 1.0
         lo.append(small)
     return (np.stack(hi) if want_hi else None), np.stack(lo)
 
 
 def load_video_pair(video_dir: str,
                     model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
-                    want_hi: bool = True):
+                    want_hi: bool = True, normalize: bool = True):
     """Both views of a two-view video directory (truncated to the min T)."""
-    hi1, lo1 = load_view(video_dir, "video1", model_size, want_hi=want_hi)
-    hi2, lo2 = load_view(video_dir, "video2", model_size, want_hi=want_hi)
+    hi1, lo1 = load_view(video_dir, "video1", model_size, want_hi=want_hi,
+                         normalize=normalize)
+    hi2, lo2 = load_view(video_dir, "video2", model_size, want_hi=want_hi,
+                         normalize=normalize)
     T = min(len(lo1), len(lo2))
     if not want_hi:
         return None, lo1[:T], None, lo2[:T]

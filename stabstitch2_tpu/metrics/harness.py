@@ -108,12 +108,25 @@ def _pad_frames(x: jnp.ndarray, n: int) -> jnp.ndarray:
         [x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
 
 
+@jax.jit
+def _normalize_u8(x_u8: jnp.ndarray) -> jnp.ndarray:
+    return x_u8.astype(jnp.float32) / 127.5 - 1.0
+
+
 def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
                    ) -> Dict[str, float]:
-    """All four metrics for one video (model-resolution frames [-1,1])."""
+    """All four metrics for one video.
+
+    lo*: model-resolution frames — float [-1,1], or uint8 BGR (preferred
+    at dataset scale: frames cross the host->device link at 1 byte/px and
+    normalize on device; `load_video_pair(normalize=False)` produces
+    them).
+    """
     from stabstitch2_tpu.ops.pallas_warp import pallas_available
 
     lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
+    if lo1j.dtype == jnp.uint8:
+        lo1j, lo2j = _normalize_u8(lo1j), _normalize_u8(lo2j)
     T = lo1j.shape[0]
 
     # phases 1-4 via the stitch path's fused, bucketed programs; keep the
@@ -163,7 +176,7 @@ def evaluate_dataset(stitcher, dataset_dir: str,
 
         _, lo1, _, lo2 = load_video_pair(
             vd, model_size=(stitcher.model_h, stitcher.model_w),
-            want_hi=False)
+            want_hi=False, normalize=False)  # uint8 uploads, 1 byte/px
         per_video[os.path.basename(vd)] = evaluate_video(stitcher, lo1, lo2)
 
     def agg(names):
