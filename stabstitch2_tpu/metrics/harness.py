@@ -8,18 +8,17 @@ meshes (:473-501), aggregated per StabStitch-D difficulty category
 (:234-237) and overall.
 
 TPU-first design (the reference loops eagerly per frame/window): the
-motion+smooth phases reuse the stitch path's fused, 16-frame-bucketed
-programs (VideoStitcher.motion_smooth), the stability/distortion scores are
-ONE jitted program per bucket with the true frame count as a traced scalar
-(masked reductions, no recompile across lengths), and the PSNR/SSIM tail
-runs warp+score fused per fixed-size frame chunk — so a dataset sweep
-compiles one program set per canvas bucket and stays dispatch-light.
+WHOLE evaluation is one jitted program per 16-frame length bucket
+(_fused_eval) — device-side normalize, the stitch path's fused motion and
+transport+smooth phases, masked stability/distortion with the true frame
+count as a traced scalar, and lax.map'd warp+PSNR/SSIM chunks — so a video
+costs one uint8 upload, ONE dispatch, and one small fetch, and a dataset of
+varied lengths never recompiles within a bucket.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +33,6 @@ from stabstitch2_tpu.metrics.scores import (
 from stabstitch2_tpu.ops.mesh import mesh_points, normalize_mesh, rigid_mesh
 from stabstitch2_tpu.ops.tps import tps_warp_with_mask
 
-# Metric-tail chunk: must divide the smooth phase's 16-frame bucket so every
-# chunk of a padded video shares one compiled shape.
-_CHUNK = 8
-
 # StabStitch-D difficulty categories (test_metric_ssd.py:234-237)
 SSD_CATEGORIES = {
     "RE": ["00000107", "00000101", "MR002", "S13", "S28"],
@@ -47,39 +42,76 @@ SSD_CATEGORIES = {
 }
 
 
-# module-level jitted programs: constructing fresh jit wrappers per video
-# would recompile for every video even at identical shapes (jit caches key
-# on callable identity)
+# jitted programs are cached per stitcher / at module level: constructing
+# fresh jit wrappers per video would recompile for every video even at
+# identical shapes (jit caches key on callable identity)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _warp_psnr_ssim_chunk(lo1, lo2, mesh1, mesh2, use_pallas: bool
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Warp one chunk of both views and score alignment, fused.
+def _fused_eval(stitcher):
+    """Per-stitcher jitted whole-video metric program (cached).
 
-    lo*: [C, H, W, 3] in [-1,1]; mesh*: [C, GH+1, GW+1, 2] model-res.
-    Returns (psnr [C], ssim [C]). NORMAL warp back to 0..255 with the
-    arithmetic coverage mask (a >3-channel gather lowers ~1000x slower on
-    TPU, BENCHMARKS.md 'TPU kernel findings'); overlap-masked per-frame
-    scores like the reference (test_metric_ssd.py:506-524).
+    ONE dispatch per video: device-normalize -> fused motion (lax.map
+    chunked) -> fused transport+smooth -> masked stability/distortion ->
+    lax.map warp+PSNR/SSIM chunks. Through a remote tunnel the dispatch
+    count is the latency; the eager formulation of the same math issues
+    ~20 dispatches per video.
     """
-    C, H, W, _ = lo1.shape
-    rigid = rigid_mesh(H, W, dtype=jnp.float32)
-    norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
-    tgt = jnp.broadcast_to(norm_rigid_pts[None], (C,) + norm_rigid_pts.shape)
+    fn = getattr(stitcher, "_metric_fused", None)
+    if fn is not None:
+        return fn
 
-    def warp(lo, mesh):
-        img = (lo + 1.0) * 127.5
-        src = mesh_points(normalize_mesh(mesh, H, W))
-        return tps_warp_with_mask(img, src, tgt, (H, W), mode="NORMAL",
-                                  use_pallas=use_pallas)
+    from stabstitch2_tpu.ops.pallas_warp import pallas_available
 
-    w1, m1 = warp(lo1, mesh1)
-    w2, m2 = warp(lo2, mesh2)
-    ov = (m1 * m2)[..., None]
-    a = w1 * ov
-    b = w2 * ov
-    return jax.vmap(psnr)(a, b), jax.vmap(ssim)(a, b)
+    mh, mw = stitcher.model_h, stitcher.model_w
+    chunk = stitcher.chunk
+    use_pallas = bool(pallas_available())
+    motion_fused = stitcher._motion_fused
+    smooth_phase = stitcher._smooth_phase
+
+    @jax.jit
+    def fused(svars, tvars, mvars, lo1, lo2, n_frames):
+        # lo*: [Tb, mh, mw, 3] uint8 BGR (preferred: 1 B/px upload) or
+        # float [-1, 1]; Tb bucket-padded and divisible by chunk
+        if lo1.dtype == jnp.uint8:
+            lo1 = lo1.astype(jnp.float32) / 127.5 - 1.0
+            lo2 = lo2.astype(jnp.float32) / 127.5 - 1.0
+        sm1, sm2, tm1, tm2 = motion_fused(svars, tvars, lo1, lo2)
+        smooth = smooth_phase(mvars, tm1, sm1, tm2, sm2)
+        stab_ori, stab, d_ori, d = _stability_distortion(
+            smooth["win_ori_path2"], smooth["win_smooth_path2"],
+            smooth["ori_mesh2"], smooth["smooth_mesh2"], n_frames)
+
+        Tb = lo1.shape[0]
+        nb = Tb // chunk
+        rigid = rigid_mesh(mh, mw, dtype=jnp.float32)
+        norm_rigid_pts = mesh_points(normalize_mesh(rigid, mh, mw))
+        tgt = jnp.broadcast_to(norm_rigid_pts[None],
+                               (chunk,) + norm_rigid_pts.shape)
+
+        def wp(args):
+            a, b, m1, m2 = args
+
+            def warp(lo, mesh):
+                img = (lo + 1.0) * 127.5
+                src = mesh_points(normalize_mesh(mesh, mh, mw))
+                return tps_warp_with_mask(img, src, tgt, (mh, mw),
+                                          mode="NORMAL",
+                                          use_pallas=use_pallas)
+
+            w1, k1 = warp(a, m1)
+            w2, k2 = warp(b, m2)
+            ov = (k1 * k2)[..., None]
+            return (jax.vmap(psnr)(w1 * ov, w2 * ov),
+                    jax.vmap(ssim)(w1 * ov, w2 * ov))
+
+        grid = lambda x: x.reshape(nb, chunk, *x.shape[1:])  # noqa: E731
+        ps, ss = jax.lax.map(wp, (grid(lo1), grid(lo2),
+                                  grid(smooth["smooth_mesh1"]),
+                                  grid(smooth["smooth_mesh2"])))
+        return ps.reshape(Tb), ss.reshape(Tb), stab_ori, stab, d_ori, d
+
+    stitcher._metric_fused = fused
+    return fused
 
 
 @jax.jit
@@ -108,51 +140,32 @@ def _pad_frames(x: jnp.ndarray, n: int) -> jnp.ndarray:
         [x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
 
 
-@jax.jit
-def _normalize_u8(x_u8: jnp.ndarray) -> jnp.ndarray:
-    return x_u8.astype(jnp.float32) / 127.5 - 1.0
-
-
 def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray
                    ) -> Dict[str, float]:
-    """All four metrics for one video.
+    """All four metrics for one video — ONE device dispatch + one fetch.
 
-    lo*: model-resolution frames — float [-1,1], or uint8 BGR (preferred
-    at dataset scale: frames cross the host->device link at 1 byte/px and
-    normalize on device; `load_video_pair(normalize=False)` produces
-    them).
+    lo*: model-resolution frames — uint8 BGR (preferred at dataset scale:
+    frames cross the host->device link at 1 B/px and normalize on device;
+    `load_video_pair(normalize=False)` produces them) or float [-1,1].
     """
-    from stabstitch2_tpu.ops.pallas_warp import pallas_available
+    T = lo1.shape[0]
+    bucket = 16
+    Tb = -(-T // bucket) * bucket
+    Tb = -(-Tb // stitcher.chunk) * stitcher.chunk
 
-    lo1j, lo2j = jnp.asarray(lo1), jnp.asarray(lo2)
-    if lo1j.dtype == jnp.uint8:
-        lo1j, lo2j = _normalize_u8(lo1j), _normalize_u8(lo2j)
-    T = lo1j.shape[0]
+    def pad(x):
+        if x.shape[0] == Tb:
+            return jnp.asarray(x)
+        if isinstance(x, np.ndarray):  # pad before upload (cheap for u8)
+            return jnp.asarray(np.concatenate(
+                [x, np.repeat(x[-1:], Tb - x.shape[0], 0)], 0))
+        return _pad_frames(jnp.asarray(x), Tb)
 
-    # phases 1-4 via the stitch path's fused, bucketed programs; keep the
-    # padded outputs so the score program is shared across lengths
-    smooth = stitcher.motion_smooth(lo1j, lo2j, crop=False)
-    Tb = smooth["smooth_mesh1"].shape[0]
-
-    stab_ori, stab, dist_ori, dist = _stability_distortion(
-        smooth["win_ori_path2"], smooth["win_smooth_path2"],
-        smooth["ori_mesh2"], smooth["smooth_mesh2"], jnp.int32(T))
-
-    # alignment PSNR/SSIM from separately-warped views, fused per chunk
-    lo1p = _pad_frames(lo1j, Tb)
-    lo2p = _pad_frames(lo2j, Tb)
-    use_pallas = bool(pallas_available())
-    psnrs, ssims = [], []
-    for s in range(0, Tb, _CHUNK):
-        e = s + _CHUNK
-        p, q = _warp_psnr_ssim_chunk(lo1p[s:e], lo2p[s:e],
-                                     smooth["smooth_mesh1"][s:e],
-                                     smooth["smooth_mesh2"][s:e],
-                                     use_pallas)
-        psnrs.append(p)
-        ssims.append(q)
-    psnrs = np.asarray(jnp.concatenate(psnrs))[:T]
-    ssims = np.asarray(jnp.concatenate(ssims))[:T]
+    ps, ss, stab_ori, stab, dist_ori, dist = _fused_eval(stitcher)(
+        stitcher.spatial_vars, stitcher.temporal_vars, stitcher.smooth_vars,
+        pad(lo1), pad(lo2), jnp.int32(T))
+    psnrs = np.asarray(ps)[:T]
+    ssims = np.asarray(ss)[:T]
 
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
             "stability": float(stab), "distortion": float(dist),

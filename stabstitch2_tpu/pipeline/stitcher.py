@@ -84,6 +84,12 @@ class VideoStitcher:
     # all-reduce every conv; TP exists for training (parallel/sharding.py)
     # where optimizer+activation memory is the constraint.
     mesh: Optional["jax.sharding.Mesh"] = None
+    # True: run phases 1-4 through motion_smooth (2 dispatches instead of
+    # ~20 eager chunk dispatches) in the bulk stitch paths. Costs the
+    # per-phase spatial/temporal attribution and the view-1-compute-under-
+    # view-2-upload overlap; wins when dispatch round trips dominate
+    # (single-video latency through a remote tunnel). Off by default.
+    fused_motion: bool = False
     # True: block on each phase so StitchResult carries the reference-style
     # per-phase fps/ms attribution (test_online_ssd.py:302,395,402,418).
     # False: enqueue the whole video without intermediate host syncs — the
@@ -137,9 +143,83 @@ class VideoStitcher:
             return smooth_all_windows(smooth_net, smooth_vars, smesh1,
                                       smesh2, ts1, ts2, window=window)
 
+        spatial_net = self.spatial_net
+        temporal_net = self.temporal_net
+        chunk_ = self.chunk
+
+        @jax.jit
+        def _motion_fused(svars, tvars, lo1, lo2):
+            """Spatial + temporal motion for BOTH views as ONE program.
+
+            lo*: [Tb, mh, mw, 3] normalized, Tb % chunk == 0 (bucket-padded;
+            padding never reaches a kept output — motion at t depends on
+            frames <= t). Internally chunked with lax.map so per-step
+            memory matches the eager chunked drivers, but the whole phase
+            is ONE dispatch — through a remote tunnel the dispatch count
+            is the latency, and the eager path issues ~15-25 of them.
+            Used by the metric/N-view paths (motion_smooth); the two-view
+            stitch keeps the eager chunked drivers, whose dispatches
+            interleave with the uploads.
+            """
+            from stabstitch2_tpu.models.spatial import spatial_motions
+            from stabstitch2_tpu.models.temporal import TemporalNet as _TN
+
+            Tb = lo1.shape[0]
+            nb = Tb // chunk_
+            c1 = lo1.reshape(nb, chunk_, mh_, mw_, 3)
+            c2 = lo2.reshape(nb, chunk_, mh_, mw_, 3)
+
+            def sp(args):
+                a, b = args
+                off, mref, mtgt = spatial_net.apply(svars, a, b, False)
+                out = spatial_motions(off, mref, mtgt, mh_, mw_)
+                return out["motion1"], out["motion2"]
+
+            sm1, sm2 = jax.lax.map(sp, (c1, c2))
+            sm1 = sm1.reshape(Tb, *sm1.shape[2:])
+            sm2 = sm2.reshape(Tb, *sm2.shape[2:])
+
+            def ft(args):
+                a, b = args
+                return temporal_net.apply(tvars, jnp.concatenate([a, b], 0),
+                                          False, method=_TN.features)
+
+            feats = jax.lax.map(ft, (c1, c2))  # [nb, 2c, fh, fw, ch]
+            fsh = feats.shape[2:]
+            f1 = feats[:, :chunk_].reshape(Tb, *fsh)
+            f2 = feats[:, chunk_:].reshape(Tb, *fsh)
+
+            def shift(f):  # f[t] -> f[t+1] (tail repeats; cropped below)
+                return jnp.concatenate([f[1:], f[-1:]], 0)
+
+            def pm(args):
+                p, n = args
+                return temporal_net.apply(tvars, p, n,
+                                          method=_TN.motion_from_features)
+
+            # both views stacked per step ([2*chunk] batches — the SAME
+            # compiled shapes as the eager temporal_pair driver, so the
+            # bf16 convs reduce identically and outputs are bit-equal)
+            def grid(f):
+                return f.reshape(nb, chunk_, *fsh)
+
+            p_all = jnp.concatenate([grid(f1), grid(f2)], axis=1)
+            n_all = jnp.concatenate([grid(shift(f1)), grid(shift(f2))],
+                                    axis=1)
+            m = jax.lax.map(pm, (p_all, n_all))        # [nb, 2c, ...]
+            m_all = jnp.stack(
+                [m[:, :chunk_].reshape(Tb, *m.shape[2:]),
+                 m[:, chunk_:].reshape(Tb, *m.shape[2:])])
+            # m_all[v, t] is motion t -> t+1; reference layout is
+            # motion[t] = t-1 -> t with zeros at t=0
+            zero = jnp.zeros_like(m_all[:, :1])
+            tm = jnp.concatenate([zero, m_all[:, :-1]], axis=1)
+            return sm1, sm2, tm[0], tm[1]
+
         self._preprocess = _preprocess
         self._unpack_i420 = _unpack_i420
         self._smooth_phase = _smooth_phase
+        self._motion_fused = _motion_fused
 
     def _smooth_bucketed(self, tmotion1, smotion1, tmotion2, smotion2,
                          T: int, crop: bool = True):
@@ -175,16 +255,37 @@ class VideoStitcher:
         return smooth
 
     def motion_smooth(self, lo1j: jnp.ndarray, lo2j: jnp.ndarray,
-                      crop: bool = True):
+                      crop: bool = True, n_frames: Optional[int] = None):
         """Phases 1-4 (spatial/temporal motion -> transport -> windowed
-        smoothing) exactly as the stitch path runs them: chunked batched
-        motion nets + one fused jitted smooth program per 16-frame bucket.
-        lo*: [T, mh, mw, 3] normalized [-1, 1] (device or host)."""
-        T = lo1j.shape[0]
-        smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
-        tmotion1, tmotion2 = self._motion.temporal_pair(lo1j, lo2j)
-        return self._smooth_bucketed(tmotion1, smotion1, tmotion2, smotion2,
-                                     T, crop=crop)
+        smoothing) as TWO dispatches per video: one fused motion program
+        (internally lax.map-chunked, see _motion_fused) + the fused
+        transport+smooth program, both keyed on the 16-frame bucket.
+        lo*: [T, mh, mw, 3] normalized [-1, 1] (device or host);
+        ``n_frames`` overrides the true frame count when the inputs are
+        already padded (dp inference pads uploads to the data axis)."""
+        T = int(n_frames) if n_frames else lo1j.shape[0]
+        bucket = 16
+        # inputs may already be longer than T (dp-padded uploads)
+        Tb = -(-max(T, int(lo1j.shape[0])) // bucket) * bucket
+        Tb = -(-Tb // self.chunk) * self.chunk  # lax.map needs chunk | Tb
+
+        def _pad(x):
+            if x.shape[0] == Tb:
+                return jnp.asarray(x)
+            if isinstance(x, np.ndarray):  # pad before upload (cheap)
+                return jnp.asarray(np.concatenate(
+                    [x, np.repeat(x[-1:], Tb - x.shape[0], 0)], 0))
+            return jnp.concatenate(
+                [x, jnp.tile(x[-1:], (Tb - x.shape[0], 1, 1, 1))], 0)
+
+        sm1, sm2, tm1, tm2 = self._motion_fused(
+            self.spatial_vars, self.temporal_vars, _pad(lo1j), _pad(lo2j))
+        smooth = self._smooth_phase(self.smooth_vars, tm1, sm1, tm2, sm2)
+        if crop and Tb != T:
+            nw = T - self.config.window + 1
+            smooth = {k: (v[:nw] if k.startswith("win_") else v[:T])
+                      for k, v in smooth.items()}
+        return smooth
 
     def _put_frames(self, x, dtype=np.uint8,
                     pad_to_axis: bool = True) -> jnp.ndarray:
@@ -242,6 +343,7 @@ class VideoStitcher:
             raise ValueError(f"video too short: {T} < window {WINDOW}")
         timer = PhaseTimer(T)
         snc = (lambda x: x) if self.sync_phases else (lambda x: None)
+        smooth = None
 
         mh, mw = self.model_h, self.model_w
         if (lo1 is None or lo2 is None) and self.upload_mode == "stream":
@@ -294,7 +396,8 @@ class VideoStitcher:
                 if hi1.ndim == 3:   # packed I420 [T, H*3//2, W]
                     hi1_dev = self._unpack_i420(hi1_dev)
                 lo1j = self._preprocess(hi1_dev, mh, mw)
-                tmotion1 = self._motion.temporal(lo1j)
+                if not self.fused_motion:
+                    tmotion1 = self._motion.temporal(lo1j)
                 hi2_dev = self._put_frames(hi2)
                 timer.mark("upload", sync=snc(hi2_dev))
                 if hi2.ndim == 3:
@@ -311,17 +414,28 @@ class VideoStitcher:
                 lo1j = self._put_frames(lo1, dtype=np.float32)
                 lo2j = self._put_frames(lo2, dtype=np.float32)
                 timer.mark("upload", sync=snc((lo1j, lo2j)))
-                tmotion1 = self._motion.temporal(lo1j)
-            smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
-            timer.mark("spatial", sync=snc((smotion1, smotion2)))
-            tmotion2 = self._motion.temporal(lo2j)
-            timer.mark("temporal", sync=snc((tmotion1[0], tmotion2[0])))
+                if not self.fused_motion:
+                    tmotion1 = self._motion.temporal(lo1j)
+            if self.fused_motion:
+                # phases 1-4 in two dispatches (motion_smooth); per-phase
+                # attribution collapses into 'smooth'
+                smooth = self.motion_smooth(lo1j, lo2j, n_frames=T)
+                timer.mark("spatial")
+                timer.mark("temporal")
+                timer.mark("smooth", sync=snc(smooth["smooth_mesh1"]))
+            else:
+                smotion1, smotion2 = self._motion.spatial(lo1j, lo2j)
+                timer.mark("spatial", sync=snc((smotion1, smotion2)))
+                tmotion2 = self._motion.temporal(lo2j)
+                timer.mark("temporal", sync=snc((tmotion1[0], tmotion2[0])))
+                smooth = None
 
-        # phases 3+4: transport + batched sliding-window smoothing, one jit
-        # per 16-frame bucket (see _smooth_bucketed)
-        smooth = self._smooth_bucketed(tmotion1, smotion1, tmotion2,
-                                       smotion2, T)
-        timer.mark("smooth", sync=snc(smooth["smooth_mesh1"]))
+        if smooth is None:
+            # phases 3+4: transport + batched sliding-window smoothing, one
+            # jit per 16-frame bucket (see _smooth_bucketed)
+            smooth = self._smooth_bucketed(tmotion1, smotion1, tmotion2,
+                                           smotion2, T)
+            timer.mark("smooth", sync=snc(smooth["smooth_mesh1"]))
 
         # phase 5: composite at native resolution — enqueue only; chunk
         # downloads are requested async and drain in the background

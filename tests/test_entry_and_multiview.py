@@ -225,6 +225,32 @@ class TestMeshInference:
                         - ref.frames.astype(np.int16))
         assert diff_s.max() <= 1, f"stream max uint8 delta {diff_s.max()}"
 
+    def test_mesh_stitch_non_divisible_t_shards_and_matches(self):
+        """T % n_devices != 0: _put_frames pads the frame dim to the axis
+        (never silently replicates) and the cropped output matches the
+        single-device pipeline on the true frames."""
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+
+        mh, mw = 128, 160
+        T = 11  # NOT divisible by the 8-device data axis
+        v1, v2 = make_two_view_clip(num_frames=T, height=mh, width=mw,
+                                    seed=29)
+        cfg = StitchConfig(canvas_bucket=32)
+        ref = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                            config=cfg).stitch_arrays(v1, None, v2, None)
+        dp = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=cfg, n_devices=8)
+        up = dp._put_frames(v1)
+        assert up.shape[0] == 16, up.shape  # padded 11 -> 16
+        names = tuple(x for x in up.sharding.spec if x is not None)
+        assert "data" in names, f"not sharded: {up.sharding}"
+        got = dp.stitch_arrays(v1, None, v2, None)
+        assert got.frames.shape == ref.frames.shape  # true T, not padded
+        diff = np.abs(got.frames.astype(np.int16)
+                      - ref.frames.astype(np.int16))
+        assert diff.max() <= 1, f"max uint8 delta {diff.max()}"
+
 
 class TestThreeViewParity:
     def test_junction_algebra_matches_reference(self, goldens):

@@ -258,13 +258,27 @@ class TestMetricHarnessBucketed:
 
         st = self._stitcher()
         lo1, lo2 = self._clip(10, seed=6)
-        harness.evaluate_video(st, lo1, lo2)  # warms the 16-bucket programs
-        sizes = (harness._warp_psnr_ssim_chunk._cache_size(),
-                 harness._stability_distortion._cache_size(),
-                 st._smooth_phase._cache_size())
+        harness.evaluate_video(st, lo1, lo2)  # warms the 16-bucket program
+        sizes = st._metric_fused._cache_size()
         lo1b, lo2b = self._clip(13, seed=7)  # same bucket, new length
         harness.evaluate_video(st, lo1b, lo2b)
-        after = (harness._warp_psnr_ssim_chunk._cache_size(),
-                 harness._stability_distortion._cache_size(),
-                 st._smooth_phase._cache_size())
+        after = st._metric_fused._cache_size()
         assert sizes == after, f"recompiled across lengths: {sizes} -> {after}"
+
+    def test_uint8_input_matches_float(self):
+        """uint8 frames (device-normalized) == float frames to fp noise."""
+        from stabstitch2_tpu.metrics.harness import evaluate_video
+
+        st = self._stitcher()
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synthetic import make_two_view_clip
+
+        v1, v2 = make_two_view_clip(num_frames=9, height=360, width=480,
+                                    seed=8)
+        got_u8 = evaluate_video(st, v1, v2)
+        got_f = evaluate_video(st, v1.astype(np.float32) / 127.5 - 1.0,
+                               v2.astype(np.float32) / 127.5 - 1.0)
+        for k in got_f:
+            np.testing.assert_allclose(got_u8[k], got_f[k], rtol=2e-3,
+                                       err_msg=k)

@@ -492,3 +492,56 @@ class TestDeterminismAndShapes:
         np.testing.assert_allclose(np.asarray(r.smooth_mesh1),
                                    np.asarray(ref["smooth_mesh1"]),
                                    rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.integration
+class TestFusedMotionParity:
+    def test_motion_fused_matches_eager_drivers(self):
+        """_motion_fused (one lax.map program) == the eager chunked
+        spatial/temporal drivers the stitch path uses, bit-for-bit (same
+        nets, same chunking, same batch shapes per chunk)."""
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+
+        mh, mw = 128, 160
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4)
+        rng = np.random.default_rng(31)
+        T = 12  # divisible by chunk (the fused path's contract)
+        lo1 = jnp.asarray(rng.uniform(-1, 1, (T, mh, mw, 3)), jnp.float32)
+        lo2 = jnp.asarray(rng.uniform(-1, 1, (T, mh, mw, 3)), jnp.float32)
+
+        sm1f, sm2f, tm1f, tm2f = st._motion_fused(
+            st.spatial_vars, st.temporal_vars, lo1, lo2)
+        sm1, sm2 = st._motion.spatial(lo1, lo2)
+        tm1, tm2 = st._motion.temporal_pair(lo1, lo2)
+        for got, want, name in ((sm1f, sm1, "sm1"), (sm2f, sm2, "sm2"),
+                                (tm1f, tm1, "tm1"), (tm2f, tm2, "tm2")):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, err_msg=name)
+
+    def test_fused_motion_stitch_matches_eager(self):
+        """stitch_arrays with fused_motion=True == the eager phase path."""
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.stitcher import init_stitcher
+
+        mh, mw = 128, 160
+        v1, v2 = make_two_view_clip(num_frames=9, height=mh, width=mw,
+                                    seed=37)
+        cfg = StitchConfig(canvas_bucket=32)
+        st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
+                           config=cfg)
+        ref = st.stitch_arrays(v1, None, v2, None)
+        st.fused_motion = True
+        got = st.stitch_arrays(v1, None, v2, None)
+        assert got.frames.shape == ref.frames.shape
+        # meshes agree to float noise (the two paths compile the same math
+        # differently — under the 8-virtual-device CPU env the conv
+        # reduction partitioning differs by ~1e-4)...
+        for k in ("smooth_mesh1", "smooth_mesh2"):
+            dm = np.abs(np.asarray(getattr(got, k))
+                        - np.asarray(getattr(ref, k)))
+            assert dm.max() < 2e-3, f"{k} delta {dm.max()}"
+        # ...and a 1e-4 px mesh shift can flip a bilinear cell at a content
+        # edge, so individual uint8 pixels may jump: assert statistically
+        d = np.abs(got.frames.astype(np.int16) - ref.frames.astype(np.int16))
+        assert d.mean() < 0.5, f"mean uint8 delta {d.mean()}"
+        assert (d > 2).mean() < 0.01, f"{(d > 2).mean():%} pixels differ >2"
