@@ -43,8 +43,7 @@ def main():
             seen.add(b)
             harness.evaluate_video(st, lo1, lo2)
     print(f"warmup (compile, buckets {sorted(seen)}) {time.time() - t0:.1f}s")
-    caches = lambda: (harness._warp_psnr_ssim_chunk._cache_size(),  # noqa
-                      harness._stability_distortion._cache_size(),
+    caches = lambda: (st._metric_fused._cache_size(),  # noqa
                       st._smooth_phase._cache_size())
     c0 = caches()
 

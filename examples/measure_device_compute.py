@@ -5,98 +5,40 @@ Usage:  python examples/measure_device_compute.py   # on the TPU env
 
 Why this exists: through a remote/tunneled chip, per-phase wall clocks
 mostly measure dispatch round trips and enqueue overhead, not TPU
-execution. This script times each pipeline phase by enqueuing REPS calls
-with FRESH on-device random inputs (no host transfers inside the timed
-region, no identical-input replay) and blocking once at the end — the
-amortized per-call time is the device execution time.
+execution. Each phase is timed by enqueuing REPS calls with FRESH
+on-device random inputs (no host transfers inside the timed region, no
+identical-input replay) and blocking once at the end — the amortized
+per-call time is the device execution time.
+
+MUST run in a fresh process BEFORE any bulk transfer: after a big
+download the relay command stream throttles for the process lifetime and
+inflates even enqueue-only micro-timings ~50x (measured; CLAUDE.md).
+The implementation lives in bench.py (measure_device_compute), which
+runs it first for exactly that reason — this script is the standalone
+entry point.
 """
 
+import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import jax.numpy as jnp
-
-from stabstitch2_tpu.config import StitchConfig
-from stabstitch2_tpu.pipeline.compositor import _composite_chunk
-from stabstitch2_tpu.pipeline.stitcher import init_stitcher
-
-T, H, W = 48, 360, 480
-CHUNK = 8
-PAD_H, PAD_W = 384, 544
-REPS = 8
-
-
-def timeit(fn, reps=REPS):
-    jax.block_until_ready(fn(0))  # warmup/compile
-    t0 = time.time()
-    outs = [fn(1 + i) for i in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.time() - t0) / reps * 1e3
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 
 def main():
-    st = init_stitcher(rng_seed=0, chunk=CHUNK)
-    keys = jax.random.split(jax.random.PRNGKey(0), 128)
+    from bench import measure_device_compute
+    from stabstitch2_tpu.pipeline.stitcher import init_stitcher
 
-    @jax.jit
-    def frames(key):
-        return jax.random.uniform(key, (T, H, W, 3), jnp.float32, -1.0, 1.0)
-
-    @jax.jit
-    def motions(key):
-        return jax.random.normal(key, (T, 7, 9, 2), jnp.float32) * 2.0
-
-    # materialize inputs up front so generation isn't timed
-    lo = {i: jax.block_until_ready(frames(keys[i])) for i in range(2 * REPS + 2)}
-    mo = {i: jax.block_until_ready(motions(keys[64 + i]))
-          for i in range(4 * REPS + 4)}
-
-    sp = timeit(lambda i: st._motion.spatial(lo[2 * i], lo[2 * i + 1]))
-    tp = timeit(lambda i: st._motion.temporal(lo[2 * i]))
-    sm = timeit(lambda i: st._smooth_phase(st.smooth_vars, mo[4 * i],
-                                           mo[4 * i + 1], mo[4 * i + 2],
-                                           mo[4 * i + 3]))
-
-    cfg = StitchConfig()
-
-    @jax.jit
-    def chunk_inputs(key):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        i1 = jax.random.randint(k1, (CHUNK, H, W, 3), 0, 255,
-                                jnp.int32).astype(jnp.uint8)
-        i2 = jax.random.randint(k2, (CHUNK, H, W, 3), 0, 255,
-                                jnp.int32).astype(jnp.uint8)
-        xs, ys = jnp.linspace(0.0, W, 9), jnp.linspace(0.0, H, 7)
-        base = jnp.stack(jnp.meshgrid(xs, ys), -1)[None]
-        m1 = base + jax.random.normal(k3, (CHUNK, 7, 9, 2)) * 2.0
-        m2 = base + jax.random.normal(k4, (CHUNK, 7, 9, 2)) * 2.0 + 30.0
-        return i1, i2, m1, m2
-
-    ci = {i: jax.block_until_ready(chunk_inputs(keys[32 + i]))
-          for i in range(REPS + 1)}
-    offset = jnp.asarray([-10.0, -10.0], jnp.float32)
-
-    def comp(i):
-        i1, i2, m1, m2 = ci[i]
-        return _composite_chunk(i1, i2, m1, m2, offset, (PAD_H, PAD_W),
-                                cfg.warp_mode, cfg.fusion_mode,
-                                grid_span=(PAD_H - 4, PAD_W - 4),
-                                out_format="yuv420",
-                                coord_stride=cfg.coord_stride)
-
-    cp = timeit(comp)
-    total = sp + 2 * tp + sm + cp * (T // CHUNK)
-    print(f"device compute per {T} frames @ {H}x{W}:")
-    print(f"  spatial (both views)        {sp:7.1f} ms")
-    print(f"  temporal (per view)         {tp:7.1f} ms")
-    print(f"  smooth + transport          {sm:7.1f} ms")
-    print(f"  composite ({T // CHUNK} chunks)        {cp * (T // CHUNK):7.1f} ms")
-    print(f"  total                       {total:7.1f} ms "
-          f"= {T * 1000 / total:,.0f} fps/chip equivalent")
+    frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    st = init_stitcher(rng_seed=0, chunk=chunk)
+    dev = measure_device_compute(st, frames=frames, chunk=chunk)
+    print(json.dumps(dev, indent=2))
+    print(f"= {dev['fps_equiv']:,.0f} fps/chip equivalent "
+          f"({dev['total_ms']} ms / {frames} frames @ 360x480)")
 
 
 if __name__ == "__main__":

@@ -48,6 +48,11 @@ def _add_stitcher_args(p):
                    help="skip the blocking per-phase timers: each video is "
                         "enqueued in one go, maximizing cross-video overlap "
                         "(per-phase fps become enqueue-side approximations)")
+    p.add_argument("--fused_motion", action="store_true",
+                   help="run phases 1-4 as two fused device programs "
+                        "instead of ~20 chunked dispatches (wins when "
+                        "dispatch round trips dominate, e.g. a remote "
+                        "chip; per-phase attribution collapses)")
 
 
 def _build_stitcher(args, download_default="bgr"):
@@ -65,6 +70,8 @@ def _build_stitcher(args, download_default="bgr"):
         n_devices=getattr(args, "n_devices", None))
     if getattr(args, "no_phase_sync", False):
         stitcher.sync_phases = False
+    if getattr(args, "fused_motion", False):
+        stitcher.fused_motion = True
     return stitcher
 
 
