@@ -24,6 +24,8 @@ def main():
     from synthetic import make_two_view_clip
 
     n_videos = int(os.environ.get("SWEEP_VIDEOS", "10"))
+    # SWEEP_UPLOAD=i420: opt-in 0.5 B/px uploads (see metrics.harness)
+    upload = os.environ.get("SWEEP_UPLOAD", "bgr")
     lengths = [17 + 3 * i for i in range(n_videos)]  # 17..44, varied
     st = init_stitcher(rng_seed=0, chunk=8)
 
@@ -41,7 +43,7 @@ def main():
         b = -(-T // 16) * 16
         if b not in seen:
             seen.add(b)
-            harness.evaluate_video(st, lo1, lo2)
+            harness.evaluate_video(st, lo1, lo2, upload=upload)
     print(f"warmup (compile, buckets {sorted(seen)}) {time.time() - t0:.1f}s")
     caches = lambda: (st._metric_fused._cache_size(),  # noqa
                       st._smooth_phase._cache_size())
@@ -51,13 +53,13 @@ def main():
     total_frames = 0
     for (lo1, lo2), T in zip(clips, lengths):
         tv = time.time()
-        m = harness.evaluate_video(st, lo1, lo2)
+        m = harness.evaluate_video(st, lo1, lo2, upload=upload)
         total_frames += T
         print(f"  T={T:3d}  {time.time() - tv:6.2f}s  "
               f"psnr={m['psnr']:.2f} stab={m['stability']:.3f}")
     wall = time.time() - t0
     c1 = caches()
-    print(f"sweep: {n_videos} videos / {total_frames} frames in {wall:.1f}s "
+    print(f"sweep[{upload}]: {n_videos} videos / {total_frames} frames in {wall:.1f}s "
           f"= {total_frames / wall:.1f} frames/s")
     print(f"program caches before/after sweep: {c0} -> {c1} "
           f"({'NO recompiles' if c0 == c1 else 'RECOMPILED'})")

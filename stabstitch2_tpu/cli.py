@@ -259,7 +259,8 @@ def cmd_metric(args):
 
     stitcher = _build_stitcher(args)
     report = evaluate_dataset(stitcher, args.test_path,
-                              max_videos=args.max_videos)
+                              max_videos=args.max_videos,
+                              upload=getattr(args, "upload", "bgr"))
     print(json.dumps({k: v for k, v in report.items() if k != "per_video"},
                      indent=2))
     if args.out_json:
@@ -364,6 +365,10 @@ def main(argv=None):
     p.add_argument("--test_path", required=True)
     p.add_argument("--max_videos", type=int, default=None)
     p.add_argument("--out_json", type=str, default=None)
+    p.add_argument("--upload", choices=("bgr", "i420"), default="bgr",
+                   help="i420: half the upload bytes (the sweep's measured "
+                        "bottleneck) at a slightly perturbed metric "
+                        "(chroma subsampling; see metrics.harness)")
     _add_stitcher_args(p)
     p.set_defaults(fn=cmd_metric)
 

@@ -282,3 +282,30 @@ class TestMetricHarnessBucketed:
         for k in got_f:
             np.testing.assert_allclose(got_u8[k], got_f[k], rtol=2e-3,
                                        err_msg=k)
+
+    def test_i420_upload_close_to_bgr(self):
+        """upload='i420' (0.5 B/px, opt-in) shifts metrics only slightly.
+
+        Chroma subsampling perturbs the frames the metrics read, so this
+        is a closeness bound, not equality — the documented contract
+        (metrics.harness.evaluate_video docstring)."""
+        from stabstitch2_tpu.metrics.harness import evaluate_video
+
+        st = self._stitcher()
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from synthetic import make_two_view_clip
+
+        v1, v2 = make_two_view_clip(num_frames=9, height=360, width=480,
+                                    seed=9)
+        got_bgr = evaluate_video(st, v1, v2)
+        got_i420 = evaluate_video(st, v1, v2, upload="i420")
+        assert abs(got_i420["psnr"] - got_bgr["psnr"]) < 0.7, \
+            (got_i420["psnr"], got_bgr["psnr"])
+        assert abs(got_i420["ssim"] - got_bgr["ssim"]) < 0.01, \
+            (got_i420["ssim"], got_bgr["ssim"])
+        # geometry metrics see only second-order motion changes
+        np.testing.assert_allclose(got_i420["stability"],
+                                   got_bgr["stability"], rtol=0.05)
+        np.testing.assert_allclose(got_i420["distortion"],
+                                   got_bgr["distortion"], rtol=0.05)
