@@ -53,6 +53,12 @@ def _add_stitcher_args(p):
                         "instead of ~20 chunked dispatches (wins when "
                         "dispatch round trips dominate, e.g. a remote "
                         "chip; per-phase attribution collapses)")
+    p.add_argument("--upload_format", choices=["i420", "bgr"],
+                   default="i420",
+                   help="frame upload packing: i420 = 1.5 bytes/px (the "
+                        "production default; source jpgs/mp4s are 4:2:0 "
+                        "anyway), bgr = raw 3 bytes/px for bit-exact "
+                        "parity against BGR-loaded frames")
 
 
 def _build_stitcher(args, download_default="bgr"):
@@ -100,14 +106,17 @@ def cmd_stitch(args):
 
     from stabstitch2_tpu.data.video_io import bgr_to_i420
 
+    pack_i420 = getattr(args, "upload_format", "i420") != "bgr"
+
     def loader():
         for vd in videos:
             try:
                 hi1, _, hi2, _ = load_video_pair(vd, model_size=model_size)
-                try:  # 1.5-byte/px uploads (falls back on odd dims)
-                    hi1, hi2 = bgr_to_i420(hi1), bgr_to_i420(hi2)
-                except ValueError:
-                    pass
+                if pack_i420:
+                    try:  # 1.5-byte/px uploads (falls back on odd dims)
+                        hi1, hi2 = bgr_to_i420(hi1), bgr_to_i420(hi2)
+                    except ValueError:
+                        pass
                 q.put((vd, (hi1, None, hi2, None), None))
             except Exception as e:  # surface IO errors on the main thread
                 q.put((vd, None, e))
@@ -200,13 +209,16 @@ def cmd_stitch_multi(args):
     if multi:
         os.makedirs(args.output, exist_ok=True)
 
+    pack_i420 = getattr(args, "upload_format", "i420") != "bgr"
+
     def load(vd):
         his = [load_view(vd, v, (stitcher.model_h, stitcher.model_w))[0]
                for v in view_dirs(vd)]
-        try:  # 1.5-byte/px uploads (falls back on odd dims)
-            his = [bgr_to_i420(h) for h in his]
-        except ValueError:
-            pass
+        if pack_i420:
+            try:  # 1.5-byte/px uploads (falls back on odd dims)
+                his = [bgr_to_i420(h) for h in his]
+            except ValueError:
+                pass
         return his
 
     def finish_and_write(entry) -> int:

@@ -76,6 +76,18 @@ class TestCLI:
         outs = os.listdir(tmp_path / "out")
         assert any(o.endswith(".mp4") for o in outs)
 
+    def test_stitch_upload_format_bgr(self, tmp_path):
+        """--upload_format bgr skips the 4:2:0 pack (bit-exact uploads)."""
+        from stabstitch2_tpu.cli import main
+
+        write_clip_dirs(str(tmp_path / "data"), num_frames=7, height=360,
+                        width=480, seed=2)
+        rc = main(["stitch", "--test_path", str(tmp_path / "data"),
+                   "--output_path", str(tmp_path / "out"), "--chunk", "4",
+                   "--upload_format", "bgr"])
+        assert rc == 0
+        assert any(o.endswith(".mp4") for o in os.listdir(tmp_path / "out"))
+
     def test_stitch_skips_bad_videos(self, tmp_path, capsys):
         """One unusable video (shorter than the 7-frame window) must not
         abort a dataset-scale run; a dataset with ONLY bad videos exits 1."""
