@@ -87,6 +87,15 @@ def main():
         ok(f"metric T={T} psnr={m['psnr']:.2f} stab={m['stability']:.2f}",
            t0)
 
+    # --- opt-in I420 metric uploads (0.5 B/px) close to the bgr path ----
+    t0 = time.time()
+    v1, v2 = make_two_view_clip(num_frames=18, height=360, width=480,
+                                seed=118)
+    mb = harness.evaluate_video(st_bgr, v1, v2)
+    mi = harness.evaluate_video(st_bgr, v1, v2, upload="i420")
+    assert abs(mi["psnr"] - mb["psnr"]) < 0.7, (mi["psnr"], mb["psnr"])
+    ok(f"metric upload=i420 dpsnr={mi['psnr'] - mb['psnr']:+.3f}", t0)
+
     # --- N-view begin/finish, 3 and 4 views -----------------------------
     from bench_stitch_multi import make_three_view_clip
 
