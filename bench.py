@@ -124,8 +124,8 @@ def main():
 
     # best-of-N passes: the shared relay's bandwidth swings ~2x on minute
     # timescales (documented below); more passes = better odds one runs on
-    # an uncongested window. ~12 s each.
-    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
+    # an uncongested window. ~12 s each; band_low/high report the spread.
+    n_passes = int(os.environ.get("BENCH_PASSES", "5"))
     passes = [sustained_pass() for _ in range(n_passes)]
     fps, total_fps = max(passes)
     print(json.dumps({
