@@ -77,11 +77,15 @@ def main():
     # best of 2 — a one-shot number is hostage to the relay's minute-scale
     # bandwidth swings (same rationale as the sustained passes)
     v1, v2 = clips[min(1, num_videos - 1)]
-    single_fps = 0.0
+    single_fps, result = 0.0, None
     for _ in range(2):
         t0 = time.time()
-        result = stitcher.stitch_arrays(pack(v1), None, pack(v2), None)
-        single_fps = max(single_fps, frames / (time.time() - t0))
+        r = stitcher.stitch_arrays(pack(v1), None, pack(v2), None)
+        fps_r = frames / (time.time() - t0)
+        if fps_r > single_fps:
+            # keep the argmax pass's result so the reported phase_ms
+            # attribution describes the same run as single_video_fps
+            single_fps, result = fps_r, r
     assert np.isfinite(result.frames).all()
 
     # sustained throughput: videos stream through a two-deep pipeline —

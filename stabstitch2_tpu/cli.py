@@ -53,12 +53,12 @@ def _add_stitcher_args(p):
                         "instead of ~20 chunked dispatches (wins when "
                         "dispatch round trips dominate, e.g. a remote "
                         "chip; per-phase attribution collapses)")
-    p.add_argument("--upload_format", choices=["i420", "bgr"],
-                   default="i420",
-                   help="frame upload packing: i420 = 1.5 bytes/px (the "
-                        "production default; source jpgs/mp4s are 4:2:0 "
-                        "anyway), bgr = raw 3 bytes/px for bit-exact "
-                        "parity against BGR-loaded frames")
+    p.add_argument("--upload_format", choices=["i420", "bgr"], default=None,
+                   help="frame upload packing: i420 = 4:2:0, 1.5 bytes/px "
+                        "(source jpgs/mp4s are 4:2:0 anyway), bgr = raw "
+                        "3 bytes/px. Defaults: stitch/stitch-multi i420 "
+                        "(production-thin), metric bgr (bit-faithful "
+                        "parity instrument; i420 shifts PSNR ~0.015 dB)")
 
 
 def _build_stitcher(args, download_default="bgr"):
@@ -106,7 +106,7 @@ def cmd_stitch(args):
 
     from stabstitch2_tpu.data.video_io import bgr_to_i420
 
-    pack_i420 = getattr(args, "upload_format", "i420") != "bgr"
+    pack_i420 = (getattr(args, "upload_format", None) or "i420") != "bgr"
 
     def loader():
         for vd in videos:
@@ -209,7 +209,7 @@ def cmd_stitch_multi(args):
     if multi:
         os.makedirs(args.output, exist_ok=True)
 
-    pack_i420 = getattr(args, "upload_format", "i420") != "bgr"
+    pack_i420 = (getattr(args, "upload_format", None) or "i420") != "bgr"
 
     def load(vd):
         his = [load_view(vd, v, (stitcher.model_h, stitcher.model_w))[0]
@@ -270,9 +270,12 @@ def cmd_metric(args):
     from stabstitch2_tpu.metrics.harness import evaluate_dataset
 
     stitcher = _build_stitcher(args)
+    # metric defaults to the bit-faithful bgr upload (parity instrument);
+    # --upload_format i420 is the opt-in fast path
     report = evaluate_dataset(stitcher, args.test_path,
                               max_videos=args.max_videos,
-                              upload=getattr(args, "upload", "bgr"))
+                              upload=getattr(args, "upload_format", None)
+                              or "bgr")
     print(json.dumps({k: v for k, v in report.items() if k != "per_video"},
                      indent=2))
     if args.out_json:
@@ -377,10 +380,6 @@ def main(argv=None):
     p.add_argument("--test_path", required=True)
     p.add_argument("--max_videos", type=int, default=None)
     p.add_argument("--out_json", type=str, default=None)
-    p.add_argument("--upload", choices=("bgr", "i420"), default="bgr",
-                   help="i420: half the upload bytes (the sweep's measured "
-                        "bottleneck) at a slightly perturbed metric "
-                        "(chroma subsampling; see metrics.harness)")
     _add_stitcher_args(p)
     p.set_defaults(fn=cmd_metric)
 

@@ -165,6 +165,10 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray,
     are 4:2:0-subsampled anyway, so the perturbation is a second
     decimation of already-decimated chroma, not new information loss.
     """
+    if upload not in ("bgr", "i420"):
+        # a typo ('I420', 'yuv420') silently falling back to bgr would
+        # invalidate any A/B comparison with no symptom — fail loudly
+        raise ValueError(f"upload must be 'bgr' or 'i420', got {upload!r}")
     if upload == "i420":
         from stabstitch2_tpu.data.video_io import bgr_to_i420
 
