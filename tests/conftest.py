@@ -14,7 +14,15 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices timeshare one host core: under load a device thread can
+# miss XLA:CPU's 40 s collective-rendezvous terminate timeout, which ABORTS
+# the process (rendezvous.cc "Termination timeout ... exceeded"). Benign
+# oversubscription, not deadlock — raise the limits for the mesh tests.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+               " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = _flags
 
 # Persistent compilation cache makes repeated test runs fast. The dir is
 # keyed by a host-CPU fingerprint: XLA:CPU AOT executables embed machine
