@@ -30,12 +30,12 @@ from stabstitch2_tpu.models.backbone import (
 )
 from stabstitch2_tpu.ops import (
     ccl_flow,
-    cost_volume,
     h2mesh,
     homo_warp,
     normalize_homography,
     solve_dlt,
 )
+from stabstitch2_tpu.ops.cost_volume import cost_volume_auto
 from stabstitch2_tpu.ops.mesh import rigid_mesh
 
 
@@ -73,6 +73,9 @@ class SpatialNet(nn.Module):
     dtype: Any = jnp.float32
     grid_h: int = GRID_H
     grid_w: int = GRID_W
+    # None = auto: fused Pallas cost volume on TPU; set False in
+    # sharded/GSPMD programs (see ops.cost_volume_auto)
+    use_pallas_corr: bool | None = None
 
     def setup(self):
         mesh_out = (self.grid_h + 1) * (self.grid_w + 1) * 2
@@ -108,9 +111,11 @@ class SpatialNet(nn.Module):
         wf2 = homo_warp(f2_8.astype(jnp.float32), theta_tgt, (h8, w8))
 
         # stage 2: residual mesh motion per view
-        corr_ref = cost_volume(wf1, wf2, search_range=5, norm=False)
+        corr_ref = cost_volume_auto(wf1, wf2, search_range=5,
+                                    use_pallas=self.use_pallas_corr)
         offset_ref = self.regress2_fc_ref(self.regress2_conv_ref(corr_ref))
-        corr_tgt = cost_volume(wf2, wf1, search_range=5, norm=False)
+        corr_tgt = cost_volume_auto(wf2, wf1, search_range=5,
+                                    use_pallas=self.use_pallas_corr)
         offset_tgt = self.regress2_fc_tgt(self.regress2_conv_tgt(corr_tgt))
 
         mesh_shape = (B, self.grid_h + 1, self.grid_w + 1, 2)

@@ -22,15 +22,20 @@ from flax import linen as nn
 
 from stabstitch2_tpu.config import GRID_H, GRID_W
 from stabstitch2_tpu.models.backbone import ConvHead, MLPHead, ResNetStage1
-from stabstitch2_tpu.ops import cost_volume
+from stabstitch2_tpu.ops.cost_volume import cost_volume_auto
 
 
 class TemporalNet(nn.Module):
-    """Backbone + cost volume (sr=3 -> 49ch) + conv/FC head -> mesh motion."""
+    """Backbone + cost volume (sr=3 -> 49ch) + conv/FC head -> mesh motion.
+
+    ``use_pallas_corr``: None = auto (fused Pallas cost volume on TPU);
+    set False in sharded/GSPMD programs (see ops.cost_volume_auto).
+    """
 
     dtype: Any = jnp.float32
     grid_h: int = GRID_H
     grid_w: int = GRID_W
+    use_pallas_corr: bool | None = None
 
     def setup(self):
         mesh_out = (self.grid_h + 1) * (self.grid_w + 1) * 2
@@ -47,9 +52,10 @@ class TemporalNet(nn.Module):
 
         feat_prev/feat_next: [B, H/8, W/8, 128]. Returns [B, GH+1, GW+1, 2].
         """
-        corr = cost_volume(feat_prev.astype(jnp.float32),
-                           feat_next.astype(jnp.float32),
-                           search_range=3, norm=False)
+        corr = cost_volume_auto(feat_prev.astype(jnp.float32),
+                                feat_next.astype(jnp.float32),
+                                search_range=3,
+                                use_pallas=self.use_pallas_corr)
         offset = self.regress_fc(self.regress_conv(corr))
         return offset.astype(jnp.float32).reshape(
             -1, self.grid_h + 1, self.grid_w + 1, 2)

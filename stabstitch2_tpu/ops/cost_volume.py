@@ -48,6 +48,38 @@ def cost_volume(x1: jnp.ndarray, x2: jnp.ndarray, search_range: int,
     return jax.nn.leaky_relu(vol, negative_slope=0.1)
 
 
+def cost_volume_auto(x1: jnp.ndarray, x2: jnp.ndarray, search_range: int,
+                     use_pallas: bool | None = None) -> jnp.ndarray:
+    """``cost_volume(..., norm=False)`` with backend dispatch.
+
+    ``use_pallas=None`` auto-selects the fused Pallas kernel on TPU
+    (ops/pallas_corr.py: one VMEM-resident pass instead of (2r+1)^2
+    HBM-streaming fusions) and the jnp path elsewhere. Pass ``False``
+    explicitly in SHARDED (GSPMD) programs — a pallas_call does not
+    auto-partition over a device mesh the way the jnp formulation does.
+    """
+    if use_pallas is None:
+        from stabstitch2_tpu.ops.pallas_warp import pallas_available
+
+        use_pallas = pallas_available()
+    if use_pallas:
+        # the kernel holds one whole image's blocks in VMEM (grid over B);
+        # at the supported model resolutions that is ~5 MB (45x60x128
+        # features), but guard anyway: fall back to jnp if a hypothetical
+        # larger feature map would blow the ~16 MB VMEM with Mosaic's
+        # block double-buffering
+        B, H, W, C = x1.shape
+        k = 2 * search_range + 1
+        block_bytes = 4 * (H * W * C + (H + k - 1) * (W + k - 1) * C
+                           + H * W * k * k)
+        use_pallas = block_bytes < 6 * 1024 * 1024
+    if use_pallas:
+        from stabstitch2_tpu.ops.pallas_corr import cost_volume_fused
+
+        return cost_volume_fused(x1, x2, search_range)
+    return cost_volume(x1, x2, search_range, norm=False)
+
+
 def _patches_3x3(x: jnp.ndarray) -> jnp.ndarray:
     """Zero-padded 3x3 neighborhoods: [B,H,W,C] -> [B, H*W, 9*C]."""
     B, H, W, C = x.shape

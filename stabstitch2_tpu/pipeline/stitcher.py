@@ -497,8 +497,11 @@ def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
     import jax
 
     dt = compute_dtype or jnp.bfloat16
-    spatial = SpatialNet(dtype=dt)
-    temporal = TemporalNet(dtype=dt)
+    # dp inference runs the same programs under GSPMD, where a pallas
+    # cost volume cannot auto-partition — force the jnp path on a mesh
+    pallas_corr = False if (n_devices and n_devices > 1) else None
+    spatial = SpatialNet(dtype=dt, use_pallas_corr=pallas_corr)
+    temporal = TemporalNet(dtype=dt, use_pallas_corr=pallas_corr)
     smooth = SmoothNet(dtype=smooth_dtype or jnp.float32)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
     img = jnp.zeros((1, model_h, model_w, 3))

@@ -86,7 +86,9 @@ def train_spatial(train_path: str, test_path: Optional[str] = None,
                   model_h: int = 360, model_w: int = 480,
                   n_devices: Optional[int] = None) -> TrainState:
     cfg = cfg or SpatialTrainConfig()
-    net = SpatialNet()
+    # pallas cost volume cannot auto-partition over a device mesh
+    net = SpatialNet(use_pallas_corr=False if n_devices and n_devices > 1
+                     else None)
     rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, model_h, model_w, 3))
     variables = net.init(rng, img, img, False)
@@ -212,7 +214,9 @@ def train_temporal(train_path: str, cfg: Optional[TemporalTrainConfig] = None,
                    model_h: int = 360, model_w: int = 480,
                    n_devices: Optional[int] = None) -> TrainState:
     cfg = cfg or TemporalTrainConfig()
-    net = TemporalNet()
+    # pallas cost volume cannot auto-partition over a device mesh
+    net = TemporalNet(use_pallas_corr=False if n_devices and n_devices > 1
+                      else None)
     rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, model_h, model_w, 3))
     variables = net.init(rng, img, img, False)

@@ -6,6 +6,7 @@ the reference itself.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from stabstitch2_tpu.ops import (
@@ -283,3 +284,38 @@ class TestPallasTPSKernel:
                                        atol=2e-4)
             np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                        atol=2e-4)
+
+
+class TestPallasCostVolume:
+    def test_interpret_mode_matches_jnp(self):
+        from stabstitch2_tpu.ops.cost_volume import cost_volume
+        from stabstitch2_tpu.ops.pallas_corr import cost_volume_fused
+
+        rng = np.random.default_rng(7)
+        for B, H, W, C, r in ((2, 12, 16, 128, 3), (1, 9, 10, 128, 5)):
+            x1 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+            x2 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+            ref = cost_volume(x1, x2, r, norm=False)
+            pal = cost_volume_fused(x1, x2, r, True)
+            np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_custom_vjp_matches_jnp_grad(self):
+        from stabstitch2_tpu.ops.cost_volume import cost_volume
+        from stabstitch2_tpu.ops.pallas_corr import cost_volume_fused
+
+        rng = np.random.default_rng(3)
+        x1 = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 128)).astype(np.float32))
+        x2 = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 128)).astype(np.float32))
+
+        def loss_ref(a, b):
+            return jnp.sum(jnp.sin(cost_volume(a, b, 3, norm=False)))
+
+        def loss_pal(a, b):
+            return jnp.sum(jnp.sin(cost_volume_fused(a, b, 3, True)))
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(x1, x2)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1))(x1, x2)
+        for gr, gp in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                       atol=1e-5, rtol=1e-5)
