@@ -64,6 +64,22 @@ def main():
     print(f"program caches before/after sweep: {c0} -> {c1} "
           f"({'NO recompiles' if c0 == c1 else 'RECOMPILED'})")
 
+    # same sweep through the one-deep submit/collect pipeline that
+    # evaluate_dataset uses (video k's fetch hides under k+1's upload) —
+    # interleaved with the serial pass above for a link-state-fair A/B
+    t0 = time.time()
+    pending = None
+    for (lo1, lo2), T in zip(clips, lengths):
+        h = harness._submit_video(st, lo1, lo2, upload=upload)
+        if pending is not None:
+            harness._collect_video(pending)
+        pending = h
+    harness._collect_video(pending)
+    wall_p = time.time() - t0
+    print(f"sweep[{upload}, pipelined]: {total_frames} frames in "
+          f"{wall_p:.1f}s = {total_frames / wall_p:.1f} frames/s "
+          f"(serial {wall:.1f}s)")
+
 
 if __name__ == "__main__":
     main()

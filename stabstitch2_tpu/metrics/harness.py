@@ -148,22 +148,14 @@ def _pad_frames(x: jnp.ndarray, n: int) -> jnp.ndarray:
         [x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
 
 
-def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray,
-                   upload: str = "bgr") -> Dict[str, float]:
-    """All four metrics for one video — ONE device dispatch + one fetch.
+def _submit_video(stitcher, lo1: np.ndarray, lo2: np.ndarray,
+                  upload: str = "bgr"):
+    """Enqueue one video's upload + fused evaluation; nothing blocks.
 
-    lo*: model-resolution frames — uint8 BGR (preferred at dataset scale:
-    frames cross the host->device link at 1 B/px and normalize on device;
-    `load_video_pair(normalize=False)` produces them) or float [-1,1].
-
-    ``upload='i420'`` packs uint8-BGR inputs to 4:2:0 on the host and
-    unpacks on device — HALF the upload bytes of the already upload-bound
-    sweep. OPT-IN, not default: chroma subsampling perturbs the frames the
-    metrics are computed ON, so the numbers shift slightly (measured on
-    synthetic clips: |dPSNR| < 0.2 dB, |dSSIM| < 0.005; the parity
-    instrument stays bit-faithful on the default path). The source jpgs
-    are 4:2:0-subsampled anyway, so the perturbation is a second
-    decimation of already-decimated chroma, not new information loss.
+    Returns an opaque handle for :func:`_collect_video`. Splitting
+    submit/collect lets :func:`evaluate_dataset` run a one-deep pipeline:
+    video k+1's (dominant) upload streams while video k's results are
+    fetched.
     """
     if upload not in ("bgr", "i420"):
         # a typo ('I420', 'yuv420') silently falling back to bgr would
@@ -193,16 +185,40 @@ def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray,
                 [x, np.repeat(x[-1:], Tb - x.shape[0], 0)], 0))
         return _pad_frames(jnp.asarray(x), Tb)
 
-    ps, ss, stab_ori, stab, dist_ori, dist = _fused_eval(stitcher)(
+    outs = _fused_eval(stitcher)(
         stitcher.spatial_vars, stitcher.temporal_vars, stitcher.smooth_vars,
         pad(lo1), pad(lo2), jnp.int32(T))
+    return outs, T
+
+
+def _collect_video(handle) -> Dict[str, float]:
+    (ps, ss, stab_ori, stab, dist_ori, dist), T = handle
     psnrs = np.asarray(ps)[:T]
     ssims = np.asarray(ss)[:T]
-
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
             "stability": float(stab), "distortion": float(dist),
             "stability_ori": float(stab_ori),
             "distortion_ori": float(dist_ori)}
+
+
+def evaluate_video(stitcher, lo1: np.ndarray, lo2: np.ndarray,
+                   upload: str = "bgr") -> Dict[str, float]:
+    """All four metrics for one video — ONE device dispatch + one fetch.
+
+    lo*: model-resolution frames — uint8 BGR (preferred at dataset scale:
+    frames cross the host->device link at 1 B/px and normalize on device;
+    `load_video_pair(normalize=False)` produces them) or float [-1,1].
+
+    ``upload='i420'`` packs uint8-BGR inputs to 4:2:0 on the host and
+    unpacks on device — HALF the upload bytes of the already upload-bound
+    sweep. OPT-IN, not default: chroma subsampling perturbs the frames the
+    metrics are computed ON, so the numbers shift slightly (measured on
+    synthetic clips: |dPSNR| < 0.2 dB, |dSSIM| < 0.005; the parity
+    instrument stays bit-faithful on the default path). The source jpgs
+    are 4:2:0-subsampled anyway, so the perturbation is a second
+    decimation of already-decimated chroma, not new information loss.
+    """
+    return _collect_video(_submit_video(stitcher, lo1, lo2, upload))
 
 
 def evaluate_dataset(stitcher, dataset_dir: str,
@@ -223,12 +239,20 @@ def evaluate_dataset(stitcher, dataset_dir: str,
     videos = list_videos(dataset_dir)
     if max_videos:
         videos = videos[:max_videos]
+    # one-deep pipeline: submit video k+1 (its upload is the sweep's
+    # bottleneck and streams asynchronously) BEFORE collecting video k,
+    # so each fetch+host step hides under the next upload
+    pending = None  # (name, handle)
     for vd in videos:
         _, lo1, _, lo2 = load_video_pair(
             vd, model_size=(stitcher.model_h, stitcher.model_w),
             want_hi=False, normalize=False)  # uint8 uploads, 1 byte/px
-        per_video[os.path.basename(vd)] = evaluate_video(
-            stitcher, lo1, lo2, upload=upload)
+        handle = _submit_video(stitcher, lo1, lo2, upload=upload)
+        if pending is not None:
+            per_video[pending[0]] = _collect_video(pending[1])
+        pending = (os.path.basename(vd), handle)
+    if pending is not None:
+        per_video[pending[0]] = _collect_video(pending[1])
 
     def agg(names):
         rows = [per_video[n] for n in names if n in per_video]
