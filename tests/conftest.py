@@ -40,6 +40,16 @@ def _host_cache_dir(prefix: str) -> str:
         import platform
 
         flags = platform.processor() or "unknown"
+    # + boot id: virtualization masks CPU identity (generic model name,
+    # microcode 0x1), so identical-cpuinfo hosts can still have
+    # incompatible AOT machine features (observed: SIGABRT in
+    # apply_primitive mid-suite). Entries therefore never outlive the
+    # sandbox life that compiled them.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            flags += f.read()
+    except OSError:
+        pass
     return f"{prefix}_{hashlib.sha1(flags.encode()).hexdigest()[:10]}"
 
 
