@@ -22,6 +22,24 @@ from stabstitch2_tpu.models.spatial import spatial_motions
 from stabstitch2_tpu.models.temporal import TemporalNet as _TN
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pad_to_jit(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Repeat-last pad of the leading axis, as ONE compiled program.
+
+    Compiled (not eager) on purpose: under dp inference the inputs are
+    GSPMD-sharded over the device mesh, and a chain of eager ops on
+    sharded arrays dispatches a tiny multi-device rendezvous per op —
+    observed to SIGABRT XLA:CPU's 8-virtual-device runtime mid-suite
+    (tile inside the non-divisible-T mesh test), and pure overhead on a
+    real multi-chip mesh. One jitted program keeps the padding on the
+    well-tested compiled-collective path; the jit cache keys on
+    (shape, n), both drawn from the small fixed chunk geometry.
+    """
+    pad = n - x.shape[0]
+    return jnp.concatenate(
+        [x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
+
+
 @dataclasses.dataclass
 class MotionEstimator:
     """Holds the two alignment nets and their jitted, chunked drivers."""
@@ -66,7 +84,7 @@ class MotionEstimator:
         pad = n - x.shape[0]
         if pad == 0:
             return x
-        return jnp.concatenate([x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))], 0)
+        return _pad_to_jit(x, n)
 
     # -- phases --------------------------------------------------------------
 

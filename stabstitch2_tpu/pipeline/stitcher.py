@@ -21,7 +21,8 @@ import numpy as np
 from stabstitch2_tpu.config import MODEL_H, MODEL_W, WINDOW, StitchConfig
 from stabstitch2_tpu.models import SmoothNet, SpatialNet, TemporalNet
 from stabstitch2_tpu.pipeline.compositor import Canvas, composite_begin
-from stabstitch2_tpu.pipeline.motion import MotionEstimator
+from stabstitch2_tpu.pipeline.motion import (MotionEstimator,
+                                             _pad_to_jit)
 from stabstitch2_tpu.pipeline.smoothing import smooth_all_windows
 from stabstitch2_tpu.pipeline.transport import (
     stitched_meshes,
@@ -241,9 +242,10 @@ class VideoStitcher:
         L = int(tmotion1.shape[0])
         Tb = -(-max(L, T) // bucket) * bucket
         if Tb != L:
+            # jitted, not eager: inputs are GSPMD-sharded under dp
+            # inference (see motion._pad_to_jit)
             def _pad(x):
-                return jnp.concatenate(
-                    [x, jnp.tile(x[-1:], (Tb - L, 1, 1, 1))], axis=0)
+                return _pad_to_jit(x, Tb)
             tmotion1, smotion1 = _pad(tmotion1), _pad(smotion1)
             tmotion2, smotion2 = _pad(tmotion2), _pad(smotion2)
         smooth = self._smooth_phase(self.smooth_vars, tmotion1, smotion1,
@@ -275,8 +277,7 @@ class VideoStitcher:
             if isinstance(x, np.ndarray):  # pad before upload (cheap)
                 return jnp.asarray(np.concatenate(
                     [x, np.repeat(x[-1:], Tb - x.shape[0], 0)], 0))
-            return jnp.concatenate(
-                [x, jnp.tile(x[-1:], (Tb - x.shape[0], 1, 1, 1))], 0)
+            return _pad_to_jit(x, Tb)  # jitted: sharded under dp
 
         sm1, sm2, tm1, tm2 = self._motion_fused(
             self.spatial_vars, self.temporal_vars, _pad(lo1j), _pad(lo2j))
