@@ -24,46 +24,28 @@ if "collective_call_terminate_timeout" not in _flags:
                " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
 os.environ["XLA_FLAGS"] = _flags
 
-# Persistent compilation cache makes repeated test runs fast. The dir is
-# keyed by a host-CPU fingerprint: XLA:CPU AOT executables embed machine
-# features, and loading an entry cached on a DIFFERENT host (sandboxes
-# migrate) aborts the process at execute time (cpu_aot_loader.cc
-# "machine type ... doesn't match", then SIGILL/abort).
-
-
-def _host_cache_dir(prefix: str) -> str:
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next(line for line in f if line.startswith("flags"))
-    except (OSError, StopIteration):
-        import platform
-
-        flags = platform.processor() or "unknown"
-    # + boot id: virtualization masks CPU identity (generic model name,
-    # microcode 0x1), so identical-cpuinfo hosts can still have
-    # incompatible AOT machine features (observed: SIGABRT in
-    # apply_primitive mid-suite). Entries therefore never outlive the
-    # sandbox life that compiled them.
-    try:
-        with open("/proc/sys/kernel/random/boot_id") as f:
-            flags += f.read()
-    except OSError:
-        pass
-    return f"{prefix}_{hashlib.sha1(flags.encode()).hexdigest()[:10]}"
-
-
-_CACHE_DIR = _host_cache_dir("/tmp/jax_test_cache")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# The XLA:CPU persistent compilation cache is DISABLED: this jaxlib's
+# cpu_aot_loader is self-incompatible — compiled AOT entries embed tuning
+# pseudo-features (+prefer-no-scatter, +prefer-no-gather) that the host
+# feature detector never reports, so EVERY load (even of entries this
+# same machine wrote moments earlier) logs a machine-feature mismatch and
+# some loads execute trapping code: random SIGILL/SIGABRT mid-suite on an
+# Eigen worker, with the Python stack parked at whatever eager op the
+# main thread happened to be dispatching. Three suite runs died this way
+# before the loader warning pinpointed it. A fresh per-process dir plus a
+# prohibitive min-compile-time means no loads and no writes ever happen;
+# within one pytest process the in-memory jit cache still dedups
+# everything. (The TPU cache in bench/TPU scripts is a different,
+# unaffected serialization path and stays on.)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/jax_test_nocache_{os.getpid()}"
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "100000"
 
 import jax  # noqa: E402  (after env setup on purpose)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 100000)
 
 import pathlib
 
