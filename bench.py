@@ -157,6 +157,10 @@ def main():
         # examples/measure_device_compute.py methodology)
         "device_compute_ms_per_video": dev["total_ms"],
         "device_fps_equiv": dev["fps_equiv"],
+        # same video through the ONE-dispatch fused motion program
+        # (--fused_motion / metric / N-view path): no eager chunk glue
+        "device_compute_ms_fused_motion": dev["total_ms_fused_motion"],
+        "device_fps_equiv_fused_motion": dev["fps_equiv_fused_motion"],
         "device_phase_ms": dev["phases"],
         "phase_ms": {k: round(v, 1) for k, v in result.ms.items()},
         "phase_fps_cumulative": {k: round(v, 2) for k, v in
@@ -168,13 +172,21 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
                            reps: int = 6):
     """Per-phase TPU execution time for one `frames`-frame video.
 
-    Enqueues `reps` calls per phase with FRESH on-device random inputs
-    (identical-input replays can be cached by the remote backend) and
-    blocks once at the end — wall clock through the tunnel measures
-    dispatch, this measures the chip.
+    SLOPE methodology (round-3b correction): through the remote axon
+    backend, ``block_until_ready`` does NOT synchronize — launches
+    stream to the device and only DATA FETCHES wait — so the old
+    enqueue-then-block timing measured the Python enqueue rate (~0.2 ms
+    for a program that executes for >100 ms) and round-2/3's
+    "device compute" figures were artifacts. Here each phase enqueues
+    n_lo and then n_hi calls with fresh on-device inputs, forces a data
+    dependency by fetching one scalar of the LAST output (the device
+    executes launches in submission order), and reports
+    (T(n_hi) - T(n_lo)) / (n_hi - n_lo): per-call device time with the
+    drain round trip cancelled.
     """
     import jax
     import jax.numpy as jnp
+    import numpy as _np
 
     from stabstitch2_tpu.config import StitchConfig
     from stabstitch2_tpu.pipeline.compositor import _composite_chunk
@@ -191,17 +203,26 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
     def _motions(key):
         return jax.random.normal(key, (T, 7, 9, 2), jnp.float32) * 2.0
 
+    n_inputs = 2 * reps + 6
     lo = {i: jax.block_until_ready(_frames(keys[i]))
-          for i in range(2 * reps + 2)}
+          for i in range(n_inputs)}
     mo = {i: jax.block_until_ready(_motions(keys[64 + i]))
-          for i in range(4 * reps + 4)}
+          for i in range(2 * n_inputs)}
+
+    def _drain(x):
+        _np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
     def timeit(fn):
-        jax.block_until_ready(fn(0))  # warmup/compile
-        t0 = time.time()
-        outs = [fn(1 + i) for i in range(reps)]
-        jax.block_until_ready(outs)
-        return (time.time() - t0) / reps * 1e3
+        _drain(fn(0))  # warmup/compile + flush
+
+        def run(n):
+            t0 = time.time()
+            outs = [fn(1 + (i % reps)) for i in range(n)]
+            _drain(outs[-1])
+            return (time.time() - t0) * 1e3
+
+        n_lo, n_hi = 2, 2 + reps
+        return (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
 
     sp = timeit(lambda i: st._motion.spatial(lo[2 * i], lo[2 * i + 1]))
     tp = timeit(lambda i: st._motion.temporal(lo[2 * i]))
@@ -238,14 +259,29 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
                                 coord_stride=cfg.coord_stride)
 
     cp = timeit(comp)
+
+    # the fused motion program (VideoStitcher._motion_fused: spatial +
+    # both views' temporal + transport as ONE dispatch, the path `cli
+    # stitch --fused_motion`, the metric harness, and the N-view solver
+    # use) — the per-phase walls above additionally pay the eager
+    # chunk-glue dispatches of the default attribution-preserving path
+    # (measured: the glue, not compute, is most of their time)
+    mf = timeit(lambda i: st._motion_fused(st.spatial_vars,
+                                           st.temporal_vars,
+                                           lo[2 * i], lo[2 * i + 1]))
+
     n_chunks = -(-T // chunk)
     total = sp + 2 * tp + sm + cp * n_chunks
+    total_fused = mf + sm + cp * n_chunks
     return {
         "total_ms": round(total, 1),
         "fps_equiv": round(T * 1000.0 / total, 0),
+        "total_ms_fused_motion": round(total_fused, 1),
+        "fps_equiv_fused_motion": round(T * 1000.0 / total_fused, 0),
         "phases": {"spatial": round(sp, 1), "temporal_x2": round(2 * tp, 1),
                    "smooth": round(sm, 1),
-                   "composite": round(cp * n_chunks, 1)},
+                   "composite": round(cp * n_chunks, 1),
+                   "motion_fused_alt": round(mf, 1)},
     }
 
 

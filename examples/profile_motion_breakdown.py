@@ -1,12 +1,15 @@
 """Break the motion phases' device time into backbone / correlation / head.
 
-Methodology of examples/measure_device_compute.py (fresh on-device inputs,
-enqueue REPS calls, block once): run on the TPU env, FIRST in a fresh
-process (relay throttling inflates enqueue timings after bulk downloads).
+SLOPE methodology (see bench.measure_device_compute): through the remote
+axon backend ``block_until_ready`` does NOT synchronize (launches stream;
+only data fetches wait), so enqueue-then-block timings measure Python
+enqueue rate. Each measurement here enqueues n_lo then n_hi calls with
+fresh on-device inputs, forces a data dependency by fetching one scalar of
+the last output, and reports the slope — per-call device time with the
+drain round trip cancelled.
 
-Output: one JSON dict of per-call device ms for each sub-phase, for the
-standard 48-frame 360x480 two-view video (chunk=8 programs, like the
-production phase drivers in pipeline/motion.py).
+Run on the TPU env, FIRST in a fresh process (relay throttling inflates
+everything after bulk downloads).
 """
 
 import json
@@ -21,11 +24,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 
 def main():
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from stabstitch2_tpu.models.temporal import TemporalNet
     from stabstitch2_tpu.ops.cost_volume import cost_volume
+    from stabstitch2_tpu.ops.pallas_corr import cost_volume_fused
     from stabstitch2_tpu.pipeline.stitcher import init_stitcher
 
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
@@ -50,16 +55,21 @@ def main():
     imgs = {i: jax.block_until_ready(_imgs(keys[i])) for i in range(32)}
     feats = {i: jax.block_until_ready(_feats(keys[64 + i])) for i in range(32)}
 
-    reps = int(os.environ.get("BENCH_REPS", "8"))
+    def drain(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
-    def timeit(fn):
+    def timeit(fn, n_lo=2, n_hi=8):
         # fn(i) must stay in-bounds for i in [0, 15] (pair consumers use
         # 2*i, 2*i+1 -> max index 31)
-        jax.block_until_ready(fn(0))  # warmup/compile
-        t0 = time.time()
-        outs = [fn(1 + (i % 14)) for i in range(reps)]
-        jax.block_until_ready(outs)
-        return round((time.time() - t0) / reps * 1e3, 3)
+        drain(fn(0))  # warmup/compile + flush
+
+        def run(n):
+            t0 = time.time()
+            outs = [fn(1 + (i % 14)) for i in range(n)]
+            drain(outs[-1])
+            return (time.time() - t0) * 1e3
+
+        return round((run(n_hi) - run(n_lo)) / (n_hi - n_lo), 3)
 
     tn = TemporalNet()
 
@@ -70,8 +80,6 @@ def main():
     @jax.jit
     def corr5_only(f1, f2):
         return cost_volume(f1, f2, search_range=5, norm=False)
-
-    from stabstitch2_tpu.ops.pallas_corr import cost_volume_fused
 
     @jax.jit
     def corr_pallas(f1, f2):
@@ -110,6 +118,11 @@ def main():
         lambda i: head_only(me.temporal_vars, corr0))
     res["spatial_chunk_ms"] = timeit(
         lambda i: me._spatial(me.spatial_vars, imgs[2 * i], imgs[2 * i + 1]))
+    res["motion_fused_video_ms"] = timeit(
+        lambda i: st._motion_fused(
+            st.spatial_vars, st.temporal_vars,
+            jnp.concatenate([imgs[2 * i]] * n_chunks, 0),
+            jnp.concatenate([imgs[2 * i + 1]] * n_chunks, 0)))
     res["n_chunks"] = n_chunks
     res["temporal_view_ms"] = round(
         n_chunks * (res["features_chunk_ms"] + res["pair_motion_chunk_ms"]),

@@ -73,8 +73,8 @@ class SpatialNet(nn.Module):
     dtype: Any = jnp.float32
     grid_h: int = GRID_H
     grid_w: int = GRID_W
-    # None = auto: fused Pallas cost volume on TPU; set False in
-    # sharded/GSPMD programs (see ops.cost_volume_auto)
+    # None = auto: fused Pallas cost volume on TPU (measured 3.8x at
+    # sr=5, ops.cost_volume_auto); set False in sharded/GSPMD programs
     use_pallas_corr: bool | None = None
 
     def setup(self):

@@ -28,8 +28,9 @@ from stabstitch2_tpu.ops.cost_volume import cost_volume_auto
 class TemporalNet(nn.Module):
     """Backbone + cost volume (sr=3 -> 49ch) + conv/FC head -> mesh motion.
 
-    ``use_pallas_corr``: None = auto (fused Pallas cost volume on TPU);
-    set False in sharded/GSPMD programs (see ops.cost_volume_auto).
+    ``use_pallas_corr``: None = auto (fused Pallas cost volume on TPU,
+    a measured 3.8x at sr=5 — see ops.cost_volume_auto); set False in
+    sharded/GSPMD programs.
     """
 
     dtype: Any = jnp.float32

@@ -73,6 +73,80 @@ def bilinear_sample(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndar
     return out.astype(compute_dtype)
 
 
+def bilinear_sample_patch_u8(im: jnp.ndarray, x: jnp.ndarray,
+                             y: jnp.ndarray) -> jnp.ndarray:
+    """:func:`bilinear_sample` for uint8 images with ONE gather instead of 4.
+
+    TPU gather cost is per-LOOKUP, not per-byte, and flat for trailing
+    dims up to ~32 bytes (measured: [16,HW,3..8]xf32 all ~23 ms at 208k
+    indices/image, [16,HW] 2D gathers no cheaper, 12+ channels 3x worse
+    — BENCHMARKS.md round-3b). So the composite's four corner gathers
+    (~94 ms/chunk, the single hottest cost in the framework) collapse to
+    one: pack BGR into an int32 per pixel, build the 2x2 neighbor patch
+    as 4 int32 channels with edge padding, gather [B,HW,4] once at
+    (y0,x0), and unpack with shifts.
+
+    Output equals :func:`bilinear_sample` to FMA-contraction rounding
+    (<= 2^-12 at 0..255 pixel scale; XLA fuses the two program shapes
+    differently, so exact bit-equality across them is not attainable):
+    on the high side the edge pad makes clamped corners coincide, so the
+    reference's weight algebra is reproduced verbatim; on the low side
+    (x0 < 0 or y0 < 0) the reference's contributions cancel pairwise to
+    ~0 and this path writes an exact 0 by zeroing the weights. NaN
+    coordinates: the reference propagates NaN, this returns 0 (the
+    zeroing comparison is False for NaN) — degenerate-mesh frames come
+    out black instead of NaN.
+
+    im: [B, H, W, 3] uint8; x, y: [B, N] normalized. Returns [B, N, 3]
+    in x's dtype.
+    """
+    B, H, W, C = im.shape
+    assert C == 3 and im.dtype == jnp.uint8, (im.shape, im.dtype)
+    compute_dtype = x.dtype
+
+    packed = (im[..., 0].astype(jnp.int32)
+              | (im[..., 1].astype(jnp.int32) << 8)
+              | (im[..., 2].astype(jnp.int32) << 16))      # [B, H, W]
+    padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 1)), mode="edge")
+    patch = jnp.stack([padded[:, :H, :W], padded[:, :H, 1:],
+                       padded[:, 1:, :W], padded[:, 1:, 1:]],
+                      axis=-1).reshape(B, H * W, 4)
+
+    xf = (x + 1.0) * (W / 2.0)
+    yf = (y + 1.0) * (H / 2.0)
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    x0c = jnp.clip(x0, 0.0, W - 1)
+    x1c = jnp.clip(x0 + 1.0, 0.0, W - 1)
+    y0c = jnp.clip(y0, 0.0, H - 1)
+    y1c = jnp.clip(y0 + 1.0, 0.0, H - 1)
+
+    # reference weight algebra (bilinear_sample), with the low-side
+    # cancellation made explicit so the patch's (col+1, row+1) neighbors
+    # never leak into results the reference derives from clamped corners
+    inside = (x0 >= 0.0) & (y0 >= 0.0)  # False for NaN too
+    zero = jnp.zeros((), compute_dtype)
+    wa = jnp.where(inside, (x1c - xf) * (y1c - yf), zero)
+    wb = jnp.where(inside, (x1c - xf) * (yf - y0c), zero)
+    wc = jnp.where(inside, (xf - x0c) * (y1c - yf), zero)
+    wd = jnp.where(inside, (xf - x0c) * (yf - y0c), zero)
+
+    idx = (y0c.astype(jnp.int32) * W + x0c.astype(jnp.int32))
+    g = jnp.take_along_axis(patch, idx[..., None], axis=1)  # [B, N, 4]
+
+    def unpack(v):
+        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF],
+                         axis=-1).astype(compute_dtype)
+
+    # same accumulation ORDER as bilinear_sample (a, b, c, d) so the
+    # only cross-path difference is FMA contraction, not reassociation
+    out = (wa[..., None] * unpack(g[..., 0])
+           + wb[..., None] * unpack(g[..., 2])
+           + wc[..., None] * unpack(g[..., 1])
+           + wd[..., None] * unpack(g[..., 3]))
+    return out
+
+
 def bilinear_mask(im_h: int, im_w: int, x: jnp.ndarray,
                   y: jnp.ndarray) -> jnp.ndarray:
     """Warped all-ones-channel value WITHOUT a gather (NORMAL semantics).

@@ -89,8 +89,10 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     is the bottleneck, so the output leaves the chip as thin as possible
     (uint8, and 1.5 bytes/px in the encoder-native 4:2:0 layout).
     """
-    img1 = img1.astype(jnp.float32)
-    img2 = img2.astype(jnp.float32)
+    input_u8 = img1.dtype == jnp.uint8 and img2.dtype == jnp.uint8
+    if not input_u8:
+        img1 = img1.astype(jnp.float32)
+        img2 = img2.astype(jnp.float32)
     B, H, W, _ = img1.shape
     oh, ow = out_size
     # normalize by the TRUE canvas (grid_span) like the reference
@@ -101,7 +103,7 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     translated2 = mesh2 - offset
     norm1 = mesh_points(normalize_mesh(translated1, span_h, span_w))
     norm2 = mesh_points(normalize_mesh(translated2, span_h, span_w))
-    rigid = rigid_mesh(H, W, dtype=img1.dtype)
+    rigid = rigid_mesh(H, W, dtype=jnp.float32)
     norm_rigid = mesh_points(normalize_mesh(rigid, H, W))[None]
     norm_rigid = jnp.broadcast_to(norm_rigid, norm1.shape)
 
@@ -111,17 +113,18 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     from stabstitch2_tpu.ops.interp import (
         bilinear_mask,
         bilinear_sample,
+        bilinear_sample_patch_u8,
         grid_sample_align_corners,
         grid_sample_mask_align_corners,
     )
     from stabstitch2_tpu.ops.pallas_warp import pallas_available
     from stabstitch2_tpu.ops.tps import tps_sample_coords
 
-    # Gather 3 channels only and derive the coverage mask arithmetically
-    # (ops/interp.py:bilinear_mask): warping a concatenated ones-plane like
-    # the reference does is semantically identical but a 4-channel gather
-    # hits a pathologically slow XLA lowering on TPU (measured ~70-120 ms
-    # vs ~0.1 ms for 3 channels per 16-image chunk).
+    # The coverage mask is derived arithmetically (ops/interp.py:
+    # bilinear_mask), never by warping a concatenated ones-plane like the
+    # reference: the mask equals the bilinear weight sum, and every
+    # gathered channel costs real lookup time on TPU (gathers are
+    # per-lookup-bound; BENCHMARKS.md round-3b).
     T = tps_params(source, target)
     # coord_stride > 1 takes the coarse-lattice path; the fused Pallas
     # kernel is the full-resolution alternative (only one applies)
@@ -131,10 +134,19 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                                  grid_span=(span_h, span_w),
                                  coord_stride=coord_stride)
     if warp_mode == "NORMAL":
-        sampled = bilinear_sample(stack, x_s, y_s)
+        if input_u8:
+            # ONE packed-patch gather instead of 4 corner gathers — the
+            # gather is the compositor's dominant device cost (measured
+            # ~94 -> ~25 ms per chunk; ops/interp.py docstring). Exact
+            # for every finite coordinate; NaN coords (degenerate
+            # meshes) come out 0 instead of NaN.
+            sampled = bilinear_sample_patch_u8(stack, x_s, y_s)
+        else:
+            sampled = bilinear_sample(stack.astype(jnp.float32), x_s, y_s)
         m = bilinear_mask(H, W, x_s, y_s)
     elif warp_mode == "FAST":
-        sampled = grid_sample_align_corners(stack, x_s, y_s)
+        sampled = grid_sample_align_corners(stack.astype(jnp.float32),
+                                            x_s, y_s)
         m = grid_sample_mask_align_corners(H, W, x_s, y_s)
     else:
         raise ValueError(f"unknown warp mode {warp_mode!r}")

@@ -319,3 +319,44 @@ class TestPallasCostVolume:
         for gr, gp in zip(g_ref, g_pal):
             np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestPatchGather:
+    def test_patch_u8_matches_four_gather(self):
+        """bilinear_sample_patch_u8 == bilinear_sample to FMA rounding
+        (<= 2^-12 at 0..255 pixel scale — XLA contracts the two program
+        shapes differently): in-range, low/high out-of-range, exact edge
+        and corner-collapse cases."""
+        from stabstitch2_tpu.ops.interp import (bilinear_sample,
+                                                bilinear_sample_patch_u8)
+
+        rng = np.random.default_rng(11)
+        B, H, W = 3, 24, 31
+        im = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+        imj = jnp.asarray(im)
+
+        n = 4000
+        # cover the full plane incl. far out-of-range on both sides
+        x = rng.uniform(-1.8, 1.8, (B, n)).astype(np.float32)
+        y = rng.uniform(-1.8, 1.8, (B, n)).astype(np.float32)
+        # exact boundary values where clamping branches flip
+        specials = np.array([-1.0, -1.0 + 2.0 / W, 1.0 - 2.0 / W, 1.0,
+                             -1.0 - 2.0 / W, 1.0 + 2.0 / W, 0.0],
+                            np.float32)
+        x[:, :specials.size] = specials
+        y[:, :specials.size] = specials[::-1]
+
+        ref = bilinear_sample(imj.astype(jnp.float32), jnp.asarray(x),
+                              jnp.asarray(y))
+        got = bilinear_sample_patch_u8(imj, jnp.asarray(x), jnp.asarray(y))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-2)
+
+    def test_patch_u8_nan_coords_zero(self):
+        """NaN coords: documented deviation — 0 instead of NaN."""
+        from stabstitch2_tpu.ops.interp import bilinear_sample_patch_u8
+
+        im = jnp.asarray(np.full((1, 8, 8, 3), 200, np.uint8))
+        bad = jnp.full((1, 5), np.nan, jnp.float32)
+        out = bilinear_sample_patch_u8(im, bad, bad)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
