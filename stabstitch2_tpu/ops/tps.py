@@ -259,8 +259,10 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
 
     The mask equals warping a concatenated ones-channel (the reference's
     idiom) but is computed arithmetically from the sample coordinates —
-    4-channel gathers hit a pathologically slow XLA lowering on TPU
-    (BENCHMARKS.md 'TPU kernel findings'), so keep images 3-channel."""
+    every gathered channel costs real lookup time on TPU (gathers are
+    per-lookup-bound, BENCHMARKS.md round-3b), so images stay 3-channel.
+    uint8 NORMAL-mode inputs take the single packed-patch gather
+    (interp.bilinear_sample_patch_u8, ~4x at production shapes)."""
     from stabstitch2_tpu.ops.interp import (
         bilinear_mask,
         grid_sample_mask_align_corners,
@@ -275,10 +277,15 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                                  use_pallas=use_pallas,
                                  coord_stride=coord_stride)
     if mode == "NORMAL":
-        sampled = bilinear_sample(im, x_s, y_s)
+        if im.dtype == jnp.uint8 and im.shape[-1] == 3:
+            from stabstitch2_tpu.ops.interp import bilinear_sample_patch_u8
+
+            sampled = bilinear_sample_patch_u8(im, x_s, y_s)
+        else:
+            sampled = bilinear_sample(im, x_s, y_s)
         m = bilinear_mask(H, W, x_s, y_s)
     elif mode == "FAST":
-        sampled = grid_sample_align_corners(im, x_s, y_s)
+        sampled = grid_sample_align_corners(im.astype(x_s.dtype), x_s, y_s)
         m = grid_sample_mask_align_corners(H, W, x_s, y_s)
     else:
         raise ValueError(f"unknown warp mode {mode!r}")

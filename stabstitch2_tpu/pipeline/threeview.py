@@ -119,15 +119,20 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
     V, B, H, W, _ = imgs.shape
     oh, ow = out_size
     span_h, span_w = grid_span or out_size
-    im = imgs.reshape(V * B, H, W, 3).astype(jnp.float32)
+    im = imgs.reshape(V * B, H, W, 3)
+    if not (im.dtype == jnp.uint8 and warp_mode == "NORMAL"):
+        # uint8 NORMAL inputs ride the single packed-patch gather inside
+        # tps_warp_with_mask (BENCHMARKS round-3b); everything else warps
+        # in f32 like before
+        im = im.astype(jnp.float32)
     rigid = rigid_mesh(H, W, dtype=jnp.float32)
     norm_rigid_pts = mesh_points(normalize_mesh(rigid, H, W))
     src = mesh_points(normalize_mesh(
         meshes.reshape(V * B, *meshes.shape[2:]) - offset, span_h, span_w))
     tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)
-    # 3-channel gather + arithmetic coverage mask: warping a concatenated
-    # ones-plane is identical math but a 4-channel gather hits a ~1000x
-    # slower XLA lowering on TPU (CLAUDE.md)
+    # 3-channel gather + arithmetic coverage mask: gathers are
+    # per-lookup-bound on TPU, so never warp extra channels
+    # (BENCHMARKS.md round-3b)
     from stabstitch2_tpu.ops.pallas_warp import pallas_available
 
     warped, masks = tps_warp_with_mask(
