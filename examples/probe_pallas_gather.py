@@ -18,7 +18,9 @@ Run on the real chip (default env, TPU cache):
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 import time
 
 import jax
@@ -31,8 +33,6 @@ SPAN = 24      # max source-row span one 8-row canvas block may touch
 ROWS = 8       # (row origins are quantized to 8 — Mosaic needs sublane
                # slice starts provably 8-aligned — so SPAN covers the
                # true span (<=16) plus up to 7 rows of quantization)
-
-import os
 
 if os.environ.get("PROBE_SMALL"):
     B, H, W = 2, 40, 48
@@ -129,25 +129,43 @@ def make_inputs(key):
     return img, y0, x0
 
 
+def check_span(y0):
+    """Fail loudly if any 8-row block violates the kernel's span invariant.
+
+    The kernel emits zeros (silently) for any canvas pixel whose y0 falls
+    outside its block's [r0, r0+SPAN] window; the probe's exact-match check
+    only covers the synthetic inputs, so assert the invariant explicitly.
+    """
+    y = np.asarray(y0).reshape(B, OH // ROWS, ROWS, OW)
+    rorg = (y.min(axis=(2, 3)) // ROWS) * ROWS
+    rorg = np.clip(rorg, 0, (HP - (SPAN + 1)) // ROWS * ROWS)
+    span = y.max(axis=(2, 3)) - rorg
+    assert span.max() + 1 <= SPAN, f"block span {span.max() + 1} > {SPAN}"
+
+
 def slope_time(fn, inputs, reps=6):
+    """Device-time slope with NO input tuple repeated across (or within)
+    passes — the relay can replay byte-identical calls (CLAUDE.md), which
+    would deflate T(n_lo) and inflate the slope."""
     def drain(o):
         np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
 
+    n_lo, n_hi = 2, 2 + reps
+    assert len(inputs) >= 1 + n_lo + n_hi
     drain(fn(*inputs[0]))
 
-    def run(n):
+    def run(n, pool):
         t0 = time.time()
-        outs = [fn(*inputs[1 + (i % reps)]) for i in range(n)]
+        outs = [fn(*pool[i]) for i in range(n)]
         drain(outs[-1])
         return (time.time() - t0) * 1e3
 
-    n_lo, n_hi = 2, 2 + reps
-    return (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
+    t_hi = run(n_hi, inputs[1:1 + n_hi])
+    t_lo = run(n_lo, inputs[1 + n_hi:1 + n_hi + n_lo])
+    return (t_hi - t_lo) / (n_hi - n_lo)
 
 
 def main():
-    import contextlib
-    import os
     interp = (pltpu.force_tpu_interpret_mode()
               if os.environ.get("PROBE_INTERPRET") else
               contextlib.nullcontext())
@@ -157,9 +175,11 @@ def main():
 
 def _main():
     print("backend:", jax.default_backend(), flush=True)
-    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    keys = jax.random.split(jax.random.PRNGKey(0), 11)
     inputs = [tuple(jax.block_until_ready(v) for v in make_inputs(k))
               for k in keys]
+    for inp in inputs:
+        check_span(inp[1])
 
     t0 = time.time()
     out_p = jax.block_until_ready(pallas_patch_gather(*inputs[0]))

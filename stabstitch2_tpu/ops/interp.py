@@ -73,6 +73,63 @@ def bilinear_sample(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndar
     return out.astype(compute_dtype)
 
 
+def _patch_weights_idx(x: jnp.ndarray, y: jnp.ndarray, H: int, W: int):
+    """Shared corner/weight algebra of the packed-patch samplers.
+
+    Returns (wa, wb, wc, wd, y0i, x0i): the reference's four bilinear
+    weights (with the low-side cancellation made explicit — see
+    :func:`bilinear_sample_patch_u8`) and the CLAMPED top-left corner
+    indices the single patch gather uses. Split out so the XLA gather
+    path and the Pallas window-gather kernel (ops/pallas_gather.py) are
+    numerically the same program around the gather.
+    """
+    compute_dtype = x.dtype
+    xf = (x + 1.0) * (W / 2.0)
+    yf = (y + 1.0) * (H / 2.0)
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    x0c = jnp.clip(x0, 0.0, W - 1)
+    x1c = jnp.clip(x0 + 1.0, 0.0, W - 1)
+    y0c = jnp.clip(y0, 0.0, H - 1)
+    y1c = jnp.clip(y0 + 1.0, 0.0, H - 1)
+
+    # reference weight algebra (bilinear_sample), with the low-side
+    # cancellation made explicit so the patch's (col+1, row+1) neighbors
+    # never leak into results the reference derives from clamped corners
+    inside = (x0 >= 0.0) & (y0 >= 0.0)  # False for NaN too
+    zero = jnp.zeros((), compute_dtype)
+    wa = jnp.where(inside, (x1c - xf) * (y1c - yf), zero)
+    wb = jnp.where(inside, (x1c - xf) * (yf - y0c), zero)
+    wc = jnp.where(inside, (xf - x0c) * (y1c - yf), zero)
+    wd = jnp.where(inside, (xf - x0c) * (yf - y0c), zero)
+    return wa, wb, wc, wd, y0c.astype(jnp.int32), x0c.astype(jnp.int32)
+
+
+def _combine_patch_u8(ga, gb, gc, gd, wa, wb, wc, wd, compute_dtype):
+    """Unpack 4 packed-BGR int32 corner planes and apply the weights.
+
+    Corner order follows the reference (torch_homo_transform.py:110-123):
+    a=(y0,x0), b=(y1,x0), c=(y0,x1), d=(y1,x1). Same accumulation ORDER
+    as bilinear_sample so the only cross-path difference is FMA
+    contraction, not reassociation.
+    """
+    def unpack(v):
+        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF],
+                         axis=-1).astype(compute_dtype)
+
+    return (wa[..., None] * unpack(ga)
+            + wb[..., None] * unpack(gb)
+            + wc[..., None] * unpack(gc)
+            + wd[..., None] * unpack(gd))
+
+
+def pack_bgr_u8(im: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] uint8 -> [B, H, W] int32 with B|G<<8|R<<16 packing."""
+    return (im[..., 0].astype(jnp.int32)
+            | (im[..., 1].astype(jnp.int32) << 8)
+            | (im[..., 2].astype(jnp.int32) << 16))
+
+
 def bilinear_sample_patch_u8(im: jnp.ndarray, x: jnp.ndarray,
                              y: jnp.ndarray) -> jnp.ndarray:
     """:func:`bilinear_sample` for uint8 images with ONE gather instead of 4.
@@ -104,47 +161,18 @@ def bilinear_sample_patch_u8(im: jnp.ndarray, x: jnp.ndarray,
     assert C == 3 and im.dtype == jnp.uint8, (im.shape, im.dtype)
     compute_dtype = x.dtype
 
-    packed = (im[..., 0].astype(jnp.int32)
-              | (im[..., 1].astype(jnp.int32) << 8)
-              | (im[..., 2].astype(jnp.int32) << 16))      # [B, H, W]
+    packed = pack_bgr_u8(im)                                # [B, H, W]
     padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 1)), mode="edge")
     patch = jnp.stack([padded[:, :H, :W], padded[:, :H, 1:],
                        padded[:, 1:, :W], padded[:, 1:, 1:]],
                       axis=-1).reshape(B, H * W, 4)
 
-    xf = (x + 1.0) * (W / 2.0)
-    yf = (y + 1.0) * (H / 2.0)
-    x0 = jnp.floor(xf)
-    y0 = jnp.floor(yf)
-    x0c = jnp.clip(x0, 0.0, W - 1)
-    x1c = jnp.clip(x0 + 1.0, 0.0, W - 1)
-    y0c = jnp.clip(y0, 0.0, H - 1)
-    y1c = jnp.clip(y0 + 1.0, 0.0, H - 1)
-
-    # reference weight algebra (bilinear_sample), with the low-side
-    # cancellation made explicit so the patch's (col+1, row+1) neighbors
-    # never leak into results the reference derives from clamped corners
-    inside = (x0 >= 0.0) & (y0 >= 0.0)  # False for NaN too
-    zero = jnp.zeros((), compute_dtype)
-    wa = jnp.where(inside, (x1c - xf) * (y1c - yf), zero)
-    wb = jnp.where(inside, (x1c - xf) * (yf - y0c), zero)
-    wc = jnp.where(inside, (xf - x0c) * (y1c - yf), zero)
-    wd = jnp.where(inside, (xf - x0c) * (yf - y0c), zero)
-
-    idx = (y0c.astype(jnp.int32) * W + x0c.astype(jnp.int32))
+    wa, wb, wc, wd, y0i, x0i = _patch_weights_idx(x, y, H, W)
+    idx = y0i * W + x0i
     g = jnp.take_along_axis(patch, idx[..., None], axis=1)  # [B, N, 4]
-
-    def unpack(v):
-        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF],
-                         axis=-1).astype(compute_dtype)
-
-    # same accumulation ORDER as bilinear_sample (a, b, c, d) so the
-    # only cross-path difference is FMA contraction, not reassociation
-    out = (wa[..., None] * unpack(g[..., 0])
-           + wb[..., None] * unpack(g[..., 2])
-           + wc[..., None] * unpack(g[..., 1])
-           + wd[..., None] * unpack(g[..., 3]))
-    return out
+    # patch channel order is (y0x0, y0x1, y1x0, y1x1) -> (a, c, b, d)
+    return _combine_patch_u8(g[..., 0], g[..., 2], g[..., 1], g[..., 3],
+                             wa, wb, wc, wd, compute_dtype)
 
 
 def bilinear_mask(im_h: int, im_w: int, x: jnp.ndarray,
@@ -154,10 +182,11 @@ def bilinear_mask(im_h: int, im_w: int, x: jnp.ndarray,
     The reference warps ``concat([img, ones])`` and reads the last channel
     as the coverage mask. Because the ones-plane is 1 at every (clamped)
     corner, the sampled value is exactly the sum of the four bilinear
-    weights — pure arithmetic. This matters on TPU: a 4-channel gather
-    lowers ~3 orders of magnitude slower than 3-channel (measured; see
-    BENCHMARKS.md round 2), so the compositor gathers BGR only and gets
-    the mask from here.
+    weights — pure arithmetic. On TPU, gather cost is per-LOOKUP (flat in
+    trailing width up to ~32 bytes; BENCHMARKS.md round 3b), so deriving
+    the mask arithmetically saves the mask-plane gathers outright — a real
+    but bounded win, not the ~1000x once claimed in round 2 (retracted:
+    that figure was an enqueue-rate measurement artifact).
     """
     W, H = im_w, im_h
     xf = (x + 1.0) * (W / 2.0)

@@ -253,7 +253,8 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        T: Optional[jnp.ndarray] = None,
                        use_pallas: Optional[bool] = None,
                        grid_span: Optional[Tuple[int, int]] = None,
-                       coord_stride: int = 1
+                       coord_stride: int = 1,
+                       use_pallas_gather: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].
 
@@ -262,7 +263,10 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     every gathered channel costs real lookup time on TPU (gathers are
     per-lookup-bound, BENCHMARKS.md round-3b), so images stay 3-channel.
     uint8 NORMAL-mode inputs take the single packed-patch gather
-    (interp.bilinear_sample_patch_u8, ~4x at production shapes)."""
+    (interp.bilinear_sample_patch_u8); with ``use_pallas_gather`` that
+    gather runs as the Mosaic window kernel (ops/pallas_gather.py, 10.7x
+    on chip — TPU-only, not under GSPMD meshes; its window-invariant flag
+    is dropped here, breaches clamp gracefully)."""
     from stabstitch2_tpu.ops.interp import (
         bilinear_mask,
         grid_sample_mask_align_corners,
@@ -278,9 +282,17 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                                  coord_stride=coord_stride)
     if mode == "NORMAL":
         if im.dtype == jnp.uint8 and im.shape[-1] == 3:
-            from stabstitch2_tpu.ops.interp import bilinear_sample_patch_u8
+            if use_pallas_gather:
+                from stabstitch2_tpu.ops.pallas_gather import (
+                    bilinear_sample_patch_u8_pallas)
 
-            sampled = bilinear_sample_patch_u8(im, x_s, y_s)
+                sampled, _ = bilinear_sample_patch_u8_pallas(
+                    im, x_s, y_s, out_size)
+            else:
+                from stabstitch2_tpu.ops.interp import (
+                    bilinear_sample_patch_u8)
+
+                sampled = bilinear_sample_patch_u8(im, x_s, y_s)
         else:
             sampled = bilinear_sample(im, x_s, y_s)
         m = bilinear_mask(H, W, x_s, y_s)

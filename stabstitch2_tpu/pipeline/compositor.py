@@ -71,11 +71,13 @@ def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
                                              "fusion_mode", "out_format",
-                                             "coord_stride"))
+                                             "coord_stride",
+                                             "pallas_gather"))
 def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                      warp_mode: str, fusion_mode: str,
                      grid_span=None, out_format: str = "bgr",
-                     coord_stride: int = 1):
+                     coord_stride: int = 1,
+                     pallas_gather: bool = False):
     """Warp+fuse a chunk of frames.
 
     img1/img2: [B, H, W, 3] uint8 (or float 0..255); mesh1/mesh2:
@@ -133,8 +135,20 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                                              if coord_stride == 1 else None),
                                  grid_span=(span_h, span_w),
                                  coord_stride=coord_stride)
+    viol = jnp.zeros((), jnp.bool_)
     if warp_mode == "NORMAL":
-        if input_u8:
+        if input_u8 and pallas_gather:
+            # VMEM window-gather Mosaic kernel: 10.7x over the XLA HBM
+            # gather at production shapes (ops/pallas_gather.py; round-4
+            # chip probe). `viol` flags window-invariant breaches
+            # (extreme local TPS compression — clamped gracefully,
+            # surfaced by composite_finish as a warning).
+            from stabstitch2_tpu.ops.pallas_gather import (
+                bilinear_sample_patch_u8_pallas)
+
+            sampled, viol = bilinear_sample_patch_u8_pallas(
+                stack, x_s, y_s, out_size)
+        elif input_u8:
             # ONE packed-patch gather instead of 4 corner gathers — the
             # gather is the compositor's dominant device cost (measured
             # ~94 -> ~25 ms per chunk; ops/interp.py docstring). Exact
@@ -162,8 +176,8 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     if out_format == "yuv420":
         from stabstitch2_tpu.ops.yuv import bgr_to_yuv420
 
-        return bgr_to_yuv420(fused)
-    return fused.astype(jnp.uint8)
+        return bgr_to_yuv420(fused), viol
+    return fused.astype(jnp.uint8), viol
 
 
 def composite_begin(img1: np.ndarray, img2: np.ndarray,
@@ -172,6 +186,7 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                     chunk: int = 8,
                     model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
                     n_frames: Optional[int] = None,
+                    pallas_gather: Optional[bool] = None,
                     ):
     """Enqueue a whole video's composite without fetching any result.
 
@@ -182,6 +197,15 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
     sustained throughput comes from (see VideoStitcher.stitch_begin).
     """
     config = config or StitchConfig()
+    if pallas_gather is None:
+        # OFF by default: the Mosaic window-gather kernel (10.7x the XLA
+        # HBM gather on low-shear warps) assumes block-local source
+        # windows, and real TPS meshes with rotation/compression break
+        # that invariant — measured 11% corrupted pixels on a real stitch
+        # (examples/diag_gather_violation.py, BENCHMARKS.md round 4).
+        # Opt-in until the robust windowing lands; also never under a
+        # GSPMD mesh (a bare pallas_call cannot auto-partition).
+        pallas_gather = False
     out_format = getattr(config, "download_format", "bgr")
     _, H, W, _ = img1.shape
     # img arrays may be LONGER than the true frame count (dp inference pads
@@ -230,13 +254,14 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
             i2 = jnp.pad(i2, ((0, pad), (0, 0), (0, 0), (0, 0)))
             mm1 = jnp.concatenate([mm1, jnp.tile(mm1[-1:], (pad, 1, 1, 1))], 0)
             mm2 = jnp.concatenate([mm2, jnp.tile(mm2[-1:], (pad, 1, 1, 1))], 0)
-        fused = _composite_chunk(i1, i2, mm1, mm2, offset,
-                                 (canvas.pad_h, canvas.pad_w),
-                                 config.warp_mode, config.fusion_mode,
-                                 grid_span=grid_span,
-                                 out_format=out_format,
-                                 coord_stride=getattr(config, "coord_stride",
-                                                      1))
+        fused, viol = _composite_chunk(i1, i2, mm1, mm2, offset,
+                                       (canvas.pad_h, canvas.pad_w),
+                                       config.warp_mode, config.fusion_mode,
+                                       grid_span=grid_span,
+                                       out_format=out_format,
+                                       coord_stride=getattr(
+                                           config, "coord_stride", 1),
+                                       pallas_gather=pallas_gather)
         if out_format == "yuv420":
             yp, up, vp = fused
             cropped = (yp[:e - s, :ohq, :owq],
@@ -250,7 +275,7 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                 c.copy_to_host_async()
             except AttributeError:
                 pass
-        pending.append(cropped)
+        pending.append((cropped, viol))
     return pending, canvas, out_format, (oh, ow)
 
 
@@ -262,7 +287,16 @@ def composite_finish(state, timer=None) -> Tuple[np.ndarray, Canvas]:
         # the residual fetch time (d2h copies were already issued async,
         # so the split is attribution, not strict serialization)
         timer.mark("warp_fuse", sync=pending[-1])
-    outs = jax.device_get(pending)
+    outs_and_viol = jax.device_get(pending)
+    outs = [o for o, _ in outs_and_viol]
+    if any(bool(v) for _, v in outs_and_viol):
+        import warnings
+
+        warnings.warn(
+            "composite window-gather invariant violated (extreme local TPS "
+            "compression): affected pixels were clamped to the nearest "
+            "in-window source row/col. Re-run with pallas_gather=False "
+            "for the exact XLA gather path.", RuntimeWarning)
     if timer is not None:
         timer.mark("download")
     # exact crop on host (device crops are 32-quantized, see composite_begin)

@@ -221,7 +221,11 @@ class OnlineStitcher:
         Two compiled programs exist per stream: B=1 (steady state, every
         push) and B=WINDOW (the first-window burst, once)."""
         c = self.canvas
-        fused = _composite_chunk(
+        # pallas_gather stays OFF: real-mesh shear breaks the window-
+        # gather invariant (compositor.composite_begin, BENCHMARKS round
+        # 4); the streaming path also could not surface the violation
+        # flag without a host round trip per push
+        fused, _viol = _composite_chunk(
             jnp.asarray(hi1), jnp.asarray(hi2), m1, m2,
             self._offset, (c.pad_h, c.pad_w),
             self.cfg.warp_mode, self.cfg.fusion_mode,

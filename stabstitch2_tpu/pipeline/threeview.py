@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,10 +104,12 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
 
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
                                              "fusion_mode", "out_format",
-                                             "coord_stride"))
+                                             "coord_stride",
+                                             "pallas_gather"))
 def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
                            fusion_mode, grid_span, out_format: str = "bgr",
-                           coord_stride: int = 1):
+                           coord_stride: int = 1,
+                           pallas_gather: bool = False):
     """Warp+fuse one chunk of an N-view chain as ONE device program.
 
     imgs: [V, B, H, W, 3] uint8; meshes: [V, B, GH+1, GW+1, 2] hi-res.
@@ -139,7 +141,8 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
         im, src, tgt, (oh, ow), mode=warp_mode,
         grid_span=(span_h, span_w),
         use_pallas=(pallas_available() if coord_stride == 1 else None),
-        coord_stride=coord_stride)
+        coord_stride=coord_stride,
+        use_pallas_gather=pallas_gather)
     warped = warped.reshape(V, B, oh, ow, 3)
     masks = masks.reshape(V, B, oh, ow)
     # cascaded fusion left -> right (reference :486-503)
@@ -162,7 +165,8 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
 
 
 def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
-                          chunk: int = 8):
+                          chunk: int = 8,
+                          pallas_gather: Optional[bool] = None):
     """Enqueue the whole N-view composite; d2h copies requested async.
 
     images: list of V [T, H, W, 3] uint8 arrays — device arrays (the fast
@@ -174,6 +178,11 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
     begin/finish design, cli.cmd_stitch).
     """
     T, H, W = images[0].shape[0], images[0].shape[1], images[0].shape[2]
+    if pallas_gather is None:
+        # OFF by default: real-mesh shear breaks the window-gather
+        # invariant (see compositor.composite_begin / BENCHMARKS round 4);
+        # opt-in until the robust windowing lands
+        pallas_gather = False
     out_format = getattr(config, "download_format", "bgr")
     stacked = jnp.concatenate(meshes, axis=0)  # all views' frames
     canvas = compute_canvas(stacked, stacked, config.canvas_bucket)
@@ -230,7 +239,8 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
         fused = _composite_chain_chunk(
             iv, mv, offset, (canvas.pad_h, canvas.pad_w), config.warp_mode,
             config.fusion_mode, grid_span=grid_span, out_format=out_format,
-            coord_stride=getattr(config, "coord_stride", 1))
+            coord_stride=getattr(config, "coord_stride", 1),
+            pallas_gather=pallas_gather)
         if out_format == "yuv420":
             yp, up, vp = fused
             cropped = (yp[:e - s, :ohq, :owq],

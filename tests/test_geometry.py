@@ -360,3 +360,87 @@ class TestPatchGather:
         bad = jnp.full((1, 5), np.nan, jnp.float32)
         out = bilinear_sample_patch_u8(im, bad, bad)
         np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestPallasPatchGather:
+    """Window-gather kernel (ops/pallas_gather.py, interpret mode on CPU)
+    vs the XLA packed-patch formulation it replaces on TPU."""
+
+    B, H, W = 2, 40, 48
+    OH, OW = 48, 64
+
+    def _coords(self, shift_x=0.0, shift_y=0.0, seed=0):
+        """Smooth warp raster (the production invariant: canvas >= source,
+        local slope ~<= 1) in normalized convention, [B, OH*OW]."""
+        rng = np.random.default_rng(seed)
+        yy = np.arange(self.OH, dtype=np.float32)[None, :, None]
+        xx = np.arange(self.OW, dtype=np.float32)[None, None, :]
+        ph = rng.uniform(0, 6.28, (self.B, 1, 1)).astype(np.float32)
+        xs = (xx * (self.W / self.OW) * 0.93
+              + 2.0 * np.cos(yy / self.OH * 5 + ph) + shift_x)
+        ys = (yy * (self.H / self.OH) * 0.93
+              + 3.0 * np.sin(xx / self.OW * 4 + ph) + shift_y)
+        xn = np.broadcast_to(xs * 2.0 / self.W - 1.0,
+                             (self.B, self.OH, self.OW))
+        yn = np.broadcast_to(ys * 2.0 / self.H - 1.0,
+                             (self.B, self.OH, self.OW))
+        return (jnp.asarray(xn.reshape(self.B, -1)),
+                jnp.asarray(yn.reshape(self.B, -1)))
+
+    def _im(self, seed=3):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.integers(
+            0, 256, (self.B, self.H, self.W, 3), dtype=np.uint8))
+
+    def _run_both(self, x, y):
+        from stabstitch2_tpu.ops.interp import bilinear_sample_patch_u8
+        from stabstitch2_tpu.ops.pallas_gather import (
+            bilinear_sample_patch_u8_pallas)
+
+        im = self._im()
+        ref = bilinear_sample_patch_u8(im, x, y)
+        got, viol = bilinear_sample_patch_u8_pallas(im, x, y,
+                                                    (self.OH, self.OW),
+                                                    interpret=True)
+        return np.asarray(ref), np.asarray(got), bool(viol)
+
+    def test_matches_xla_path_in_range(self):
+        ref, got, viol = self._run_both(*self._coords())
+        assert not viol
+        np.testing.assert_allclose(got, ref, atol=1e-2)
+
+    def test_matches_xla_path_out_of_range(self):
+        # shift parts of the raster off every image edge: zero-outside
+        # (low side) and edge-collapse (high side) semantics must agree
+        for sx, sy in ((-25.0, 0.0), (30.0, 0.0), (0.0, -22.0), (0.0, 28.0)):
+            ref, got, viol = self._run_both(*self._coords(sx, sy))
+            assert not viol
+            np.testing.assert_allclose(got, ref, atol=1e-2)
+
+    def test_violation_flag_and_graceful_clamp(self):
+        # pathological warp: alternate rows sample the image top and
+        # bottom — the block row-span invariant breaks; the kernel must
+        # FLAG it and emit finite (nearest-in-window) samples, not crash
+        from stabstitch2_tpu.ops.pallas_gather import (
+            bilinear_sample_patch_u8_pallas)
+
+        x, y = (np.asarray(v).reshape(self.B, self.OH, self.OW).copy()
+                for v in self._coords())
+        y[:, 1::2] = 0.9  # near image bottom on odd canvas rows
+        got, viol = bilinear_sample_patch_u8_pallas(
+            self._im(), jnp.asarray(x.reshape(self.B, -1)),
+            jnp.asarray(y.reshape(self.B, -1)), (self.OH, self.OW),
+            interpret=True)
+        assert bool(viol)
+        assert np.isfinite(np.asarray(got)).all()
+
+    def test_nan_coords_zero_and_flagged_ok(self):
+        from stabstitch2_tpu.ops.pallas_gather import (
+            bilinear_sample_patch_u8_pallas)
+
+        x, y = self._coords()
+        x = x.at[:, :7].set(jnp.nan)
+        y = y.at[:, :7].set(jnp.nan)
+        got, _ = bilinear_sample_patch_u8_pallas(
+            self._im(), x, y, (self.OH, self.OW), interpret=True)
+        np.testing.assert_array_equal(np.asarray(got)[:, :7], 0.0)

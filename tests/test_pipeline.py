@@ -132,6 +132,47 @@ class TestCompositor:
         assert canvas.out_w == 550  # 530 - (-20)
         assert canvas.pad_w % 64 == 0 and canvas.pad_w >= canvas.out_w
 
+    def test_pallas_gather_matches_xla_path(self):
+        """composite with the Mosaic window-gather kernel (interpret mode
+        on CPU) == the XLA packed-patch gather path, end to end, both
+        download formats; no window-invariant warning on realistic
+        meshes."""
+        import warnings
+
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline.compositor import composite_video
+
+        rng = np.random.default_rng(5)
+        T, H, W = 3, 96, 144
+        i1 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        i2 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        xs, ys = np.linspace(0.0, W, 9), np.linspace(0.0, H, 7)
+        base = np.stack(np.meshgrid(xs, ys), -1)[None]
+        m1 = jnp.asarray((base + rng.normal(0, 2, (T, 7, 9, 2))
+                          ).astype(np.float32))
+        m2 = jnp.asarray((base + rng.normal(0, 2, (T, 7, 9, 2)) + 25.0
+                          ).astype(np.float32))
+        for fmt in ("bgr", "yuv420"):
+            cfg = StitchConfig(canvas_bucket=32, download_format=fmt)
+            from stabstitch2_tpu.pipeline import compositor as comp_mod
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("error", RuntimeWarning)
+                ref, cref = comp_mod.composite_finish(
+                    comp_mod.composite_begin(i1, i2, m1, m2, config=cfg,
+                                             chunk=2, model_size=(H, W),
+                                             pallas_gather=False))
+                got, cgot = comp_mod.composite_finish(
+                    comp_mod.composite_begin(i1, i2, m1, m2, config=cfg,
+                                             chunk=2, model_size=(H, W),
+                                             pallas_gather=True))
+            assert cref.out_h == cgot.out_h and cref.out_w == cgot.out_w
+            # the gather planes are exact; only FMA contraction differs
+            np.testing.assert_allclose(got.astype(np.float32),
+                                       ref.astype(np.float32), atol=1.0)
+            frac_diff = (got != ref).mean()
+            assert frac_diff < 0.01, frac_diff
+
 
 class TestYUV:
     def test_bgr_to_yuv420_matches_cv2(self):
