@@ -74,8 +74,12 @@ class SpatialNet(nn.Module):
     grid_h: int = GRID_H
     grid_w: int = GRID_W
     # None = auto: fused Pallas cost volume on TPU (measured 3.8x at
-    # sr=5, ops.cost_volume_auto); set False in sharded/GSPMD programs
+    # sr=5, ops.cost_volume_auto); set False to force the jnp formulation
     use_pallas_corr: bool | None = None
+    # jax.sharding.Mesh for dp (GSPMD) programs: the kernel is shard_map-
+    # wrapped over the 'data' axis so multi-chip inference keeps it
+    # (ops.cost_volume_auto)
+    corr_shard_mesh: Any = None
 
     def setup(self):
         mesh_out = (self.grid_h + 1) * (self.grid_w + 1) * 2
@@ -112,10 +116,12 @@ class SpatialNet(nn.Module):
 
         # stage 2: residual mesh motion per view
         corr_ref = cost_volume_auto(wf1, wf2, search_range=5,
-                                    use_pallas=self.use_pallas_corr)
+                                    use_pallas=self.use_pallas_corr,
+                                    shard_mesh=self.corr_shard_mesh)
         offset_ref = self.regress2_fc_ref(self.regress2_conv_ref(corr_ref))
         corr_tgt = cost_volume_auto(wf2, wf1, search_range=5,
-                                    use_pallas=self.use_pallas_corr)
+                                    use_pallas=self.use_pallas_corr,
+                                    shard_mesh=self.corr_shard_mesh)
         offset_tgt = self.regress2_fc_tgt(self.regress2_conv_tgt(corr_tgt))
 
         mesh_shape = (B, self.grid_h + 1, self.grid_w + 1, 2)

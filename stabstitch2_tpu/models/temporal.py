@@ -29,14 +29,16 @@ class TemporalNet(nn.Module):
     """Backbone + cost volume (sr=3 -> 49ch) + conv/FC head -> mesh motion.
 
     ``use_pallas_corr``: None = auto (fused Pallas cost volume on TPU,
-    a measured 3.8x at sr=5 — see ops.cost_volume_auto); set False in
-    sharded/GSPMD programs.
+    a measured 3.8x at sr=5 — see ops.cost_volume_auto); set False to
+    force the jnp formulation. ``corr_shard_mesh``: mesh for dp (GSPMD)
+    programs — the kernel is shard_map-wrapped over the 'data' axis.
     """
 
     dtype: Any = jnp.float32
     grid_h: int = GRID_H
     grid_w: int = GRID_W
     use_pallas_corr: bool | None = None
+    corr_shard_mesh: Any = None
 
     def setup(self):
         mesh_out = (self.grid_h + 1) * (self.grid_w + 1) * 2
@@ -56,7 +58,8 @@ class TemporalNet(nn.Module):
         corr = cost_volume_auto(feat_prev.astype(jnp.float32),
                                 feat_next.astype(jnp.float32),
                                 search_range=3,
-                                use_pallas=self.use_pallas_corr)
+                                use_pallas=self.use_pallas_corr,
+                                shard_mesh=self.corr_shard_mesh)
         offset = self.regress_fc(self.regress_conv(corr))
         return offset.astype(jnp.float32).reshape(
             -1, self.grid_h + 1, self.grid_w + 1, 2)

@@ -498,11 +498,17 @@ def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
     import jax
 
     dt = compute_dtype or jnp.bfloat16
-    # dp inference runs the same programs under GSPMD, where a pallas
-    # cost volume cannot auto-partition — force the jnp path on a mesh
-    pallas_corr = False if (n_devices and n_devices > 1) else None
-    spatial = SpatialNet(dtype=dt, use_pallas_corr=pallas_corr)
-    temporal = TemporalNet(dtype=dt, use_pallas_corr=pallas_corr)
+    dev_mesh = None
+    if n_devices and n_devices > 1:
+        # pure data-parallel inference mesh (frames over 'data')
+        from stabstitch2_tpu.parallel.sharding import make_mesh
+        dev_mesh = make_mesh(n_devices, tp=1)
+    # dp inference runs the same programs under GSPMD, where a bare pallas
+    # cost volume cannot auto-partition — handing the models the mesh makes
+    # cost_volume_auto shard_map the kernel over 'data', so multi-chip
+    # inference keeps the fused kernel (round-3 pinned the jnp path here)
+    spatial = SpatialNet(dtype=dt, corr_shard_mesh=dev_mesh)
+    temporal = TemporalNet(dtype=dt, corr_shard_mesh=dev_mesh)
     smooth = SmoothNet(dtype=smooth_dtype or jnp.float32)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(rng_seed), 3)
     img = jnp.zeros((1, model_h, model_w, 3))
@@ -510,11 +516,6 @@ def init_stitcher(rng_seed: int = 0, config: Optional[StitchConfig] = None,
     tv = temporal.init(k2, img, img, False)
     mesh = jnp.zeros((1, WINDOW, 7, 9, 2))
     mv = smooth.init(k3, mesh, mesh, mesh, mesh)
-    dev_mesh = None
-    if n_devices and n_devices > 1:
-        # pure data-parallel inference mesh (frames over 'data')
-        from stabstitch2_tpu.parallel.sharding import make_mesh
-        dev_mesh = make_mesh(n_devices, tp=1)
     return VideoStitcher(spatial, sv, temporal, tv, smooth, mv,
                          config=config or StitchConfig(), chunk=chunk,
                          model_h=model_h, model_w=model_w, mesh=dev_mesh)
