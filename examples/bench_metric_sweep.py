@@ -26,7 +26,12 @@ def main():
     n_videos = int(os.environ.get("SWEEP_VIDEOS", "10"))
     # SWEEP_UPLOAD=i420: opt-in 0.5 B/px uploads (see metrics.harness)
     upload = os.environ.get("SWEEP_UPLOAD", "bgr")
-    lengths = [17 + 3 * i for i in range(n_videos)]  # 17..44, varied
+    # varied lengths, bounded above so the warmup only compiles a handful
+    # of 16-buckets even at dataset scale (SWEEP_VIDEOS=40); the reference
+    # test split is 100+ videos of similar per-video length
+    max_len = int(os.environ.get("SWEEP_MAX_LEN", "60"))
+    spread = max(max_len - 17 + 1, 1)
+    lengths = [17 + (3 + 7 * i) % spread for i in range(n_videos)]
     st = init_stitcher(rng_seed=0, chunk=8)
 
     clips = []
