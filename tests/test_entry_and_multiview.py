@@ -23,6 +23,7 @@ class TestGraftEntry:
         assert m1.shape == (1, 7, 9, 2) and m2.shape == (1, 7, 9, 2)
         assert bool(jnp.all(jnp.isfinite(m1)))
 
+    @pytest.mark.slow  # ~10 min: re-execs a clean child over 8 cpu devices
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge
 
@@ -111,6 +112,7 @@ class TestCLI:
                    "--output_path", str(tmp_path / "out2"), "--chunk", "4"])
         assert rc == 1
 
+    @pytest.mark.slow  # executes the fused 360x480 metric program set
     def test_metric_command(self, tmp_path):
         from stabstitch2_tpu.cli import main
 
@@ -130,6 +132,7 @@ class TestCLI:
         assert np.isfinite(list(avg.values())).all()
 
 
+@pytest.mark.slow  # 8-virtual-device mesh programs on one host core
 class TestParallelTrain:
     def test_parallelize_smooth_step_8dev(self):
         """The smooth stage's 6-term step runs on the (data, model) mesh
@@ -205,6 +208,7 @@ class TestParallelTrain:
                 assert "model" in names, f"TP not engaged on {tag}"
 
 
+@pytest.mark.slow  # full stitch pipelines over the 8-device mesh
 class TestMeshInference:
     def test_mesh_stitch_matches_single_device(self):
         """Data-parallel inference (stitcher mesh=8 CPU devices): frames
@@ -285,6 +289,7 @@ class TestThreeViewParity:
                                        atol=2e-2, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow  # one-epoch trainer parity on the 8-device mesh
 class TestTrainerOnMesh:
     """n_devices wires the REAL trainer loop through parallelize_step: one
     epoch on the 8-device CPU mesh must match single-device training (same

@@ -17,6 +17,7 @@ MH, MW = 128, 160
 
 
 @pytest.mark.integration
+@pytest.mark.slow  # full export -> smooth-training recipe end to end
 class TestThreeStageRecipe:
     def test_export_then_smooth_training(self, tmp_path):
         import jax.numpy as jnp

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from stabstitch2_tpu.train import losses
 from stabstitch2_tpu.ops.resize import resize_bicubic
@@ -193,6 +194,7 @@ class TestMaskedScores:
 _HARNESS_STITCHER = []
 
 
+@pytest.mark.slow  # compiles + executes the fused 360x480 metric programs
 class TestMetricHarnessBucketed:
     """evaluate_video: parity with the eager path + one program per bucket."""
 
