@@ -61,9 +61,9 @@ def homo_warp_with_mask(im: jnp.ndarray, theta: jnp.ndarray,
 
     The mask equals warping a concatenated ones-channel (the reference's
     idiom, e.g. SpatialWarp/Codes/network.py:131-135) but is computed
-    arithmetically from the sample coordinates — gathers wider than 3
-    channels hit a pathologically slow XLA lowering on TPU (BENCHMARKS.md
-    'TPU kernel findings'), so images stay 3-channel."""
+    arithmetically from the sample coordinates — TPU gathers are
+    per-lookup-bound (BENCHMARKS.md round 3b), so skipping the mask-plane
+    gather saves its lookups; images stay 3-channel."""
     from stabstitch2_tpu.ops.interp import bilinear_mask
 
     B, H, W, _ = im.shape

@@ -86,9 +86,9 @@ def smooth_train_outputs(net: SmoothNet, params, tmotion1, tmotion2,
 
     # --- alignment term tensors: warp the LAST image of the window --------
     # 3-channel gather + arithmetic coverage mask: the reference warps
-    # concat([img, ones]) (4 channels), which hits a ~1000x slower XLA
-    # gather lowering on TPU (BENCHMARKS.md 'TPU kernel findings') — and
-    # this runs inside the jitted smooth training step on the chip.
+    # concat([img, ones]) (4 channels); TPU gathers are per-lookup-bound
+    # (BENCHMARKS.md round 3b), so computing the mask arithmetically
+    # saves the ones-plane gather inside the jitted smooth train step.
     def warp_last(img, target_mesh):
         src = mesh_points(normalize_mesh(target_mesh[:, -1], H, W))
         tgt = jnp.broadcast_to(norm_rigid_pts[None], src.shape)

@@ -52,8 +52,8 @@ def spatial_train_outputs(net: SpatialNet, variables, img1, img2,
 
     # Warp 3 channels + arithmetic coverage mask, then concat to the
     # reference's image+mask layout — warping concat([img, ones]) is the
-    # same math, but a 4-channel gather hits a ~1000x slower XLA lowering
-    # on TPU (BENCHMARKS.md 'TPU kernel findings'), and this step runs
+    # same math, but TPU gathers are per-lookup-bound (BENCHMARKS.md
+    # round 3b), so the arithmetic mask saves the ones-plane gather
     # inside the jitted training loop on the chip.
     def with_mask(w, m):
         return jnp.concatenate([w, m[..., None]], -1)
