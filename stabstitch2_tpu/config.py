@@ -73,13 +73,18 @@ class StitchConfig:
     # 'yuv420': encoder-native I420 planes [T, H*3//2, W] — half the
     # device->host bytes, exactly what the mp4 writer converts to anyway.
     download_format: str = "bgr"
-    # Composite TPS coordinate field: evaluate every s-th pixel and
-    # bilinearly upsample (ops/tps.py:tps_sample_coords). The per-pixel
-    # r^2*log(r^2) evaluation is the dominant on-chip composite cost; at
-    # stride 4 the coordinate deviation is <=0.15 px max on realistic
-    # smooth meshes (test_geometry.py::TestCoordStride) — far below the
-    # bilinear resampling blur. 1 = exact (reference-identical) evaluation.
-    coord_stride: int = 4
+    # Composite TPS coordinate field: 1 (default) evaluates the spline at
+    # every pixel — reference-identical coordinates (torch_tps_transform.py
+    # :139-165) — via the fused Pallas coords kernel on TPU. s > 1 is a
+    # fast knob: evaluate every s-th pixel and bilinearly upsample
+    # (ops/tps.py:tps_sample_coords); at stride 4 coordinates deviate
+    # <=0.25 px on realistic smooth meshes
+    # (test_geometry.py::TestCoordStride), moving ~28% of output uint8
+    # pixels (mean |delta| 0.32). Round-4 chip A/B: the coords are NOT the
+    # composite bottleneck (stride 4 saved only ~0.3 ms of a ~26 ms chunk
+    # next to the gather), so the default buys exactness for free —
+    # BENCHMARKS.md round 4.
+    coord_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

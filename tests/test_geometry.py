@@ -203,9 +203,10 @@ class TestMaskNoGather:
 
 
 class TestCoordStride:
-    """Coarse-grid TPS coordinate evaluation (the composite default,
-    StitchConfig.coord_stride=4) must stay within a small pixel budget of
-    the exact field on realistic smooth meshes."""
+    """Coarse-grid TPS coordinate evaluation (the opt-in fast knob,
+    StitchConfig.coord_stride=4; the default is the exact stride-1 path)
+    must stay within a small pixel budget of the exact field on realistic
+    smooth meshes."""
 
     def _coords(self, sigma, stride, seed=0):
         from stabstitch2_tpu.ops.mesh import (mesh_points, normalize_mesh,
