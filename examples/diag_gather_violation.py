@@ -1,16 +1,20 @@
-"""Diagnose the window-gather invariant violation seen on real stitches.
+"""Validate the v2 window-gather kernel on REAL smooth meshes.
 
-Round-4 verification found the ops/pallas_gather.py window invariant
-firing on a realistic synthetic two-view stitch (CLI run on the chip).
-This script reproduces it with the REAL smooth meshes of such a video and
-answers, with data:
+Round-4 history: the v1 kernel's fixed 32x256 window (unmasked origins)
+broke on a realistic synthetic two-view stitch — shear times the 128-lane
+block width overran the row budget on 22% of blocks and corrupted 11% of
+output pixels. The v2 redesign (ops/pallas_gather.py) uses SUPPORT-MASKED
+window origins, a generous 128x384 window, a dynamic per-block trip
+count, and exact-zero (never garbage) handling of overflows.
 
-  1. which canvas blocks violate (how many, where, y-span or x-span);
-  2. whether the violating pixels can affect output (nonzero bilinear
-     weight sum — out-of-image pixels have w == 0 and clamp harmlessly,
-     EXCEPT that weight cancellation needs equal corner values, which the
-     clamped window can break);
-  3. the actual end-to-end composite delta, Pallas vs XLA gather.
+This script drives the REAL pipeline (motion + smooth on a synthetic
+clip) and answers, with data:
+
+  1. the live-span distribution the v2 origins see, vs the window budget;
+  2. how many live pixels (if any) overflow -> flagged + zeroed;
+  3. the end-to-end composite delta, Pallas vs XLA gather (expect ZERO
+     wherever nothing overflows);
+  4. the mean dynamic trip count (the kernel's compute scales with it).
 
 Run on the real chip (default env):
   JAX_COMPILATION_CACHE_DIR=/tmp/jax_tpu_cache \
@@ -38,7 +42,8 @@ def main():
     from stabstitch2_tpu.ops.interp import _patch_weights_idx
     from stabstitch2_tpu.ops.mesh import (mesh_points, normalize_mesh,
                                           rigid_mesh)
-    from stabstitch2_tpu.ops.pallas_gather import ROW_SPAN, COLS, ROWS, RWIN
+    from stabstitch2_tpu.ops.pallas_gather import (COLS, NCT, NT, ROWS, RWIN,
+                                                   X_BUDGET, Y_BUDGET)
     from stabstitch2_tpu.ops.tps import tps_params, tps_sample_coords
     from stabstitch2_tpu.pipeline import compositor as comp
     from stabstitch2_tpu.pipeline.stitcher import init_stitcher
@@ -86,101 +91,62 @@ def main():
                                      grid_span=(span_h, span_w),
                                      coord_stride=cfg.coord_stride)
         wa, wb, wc, wd, y0i, x0i = _patch_weights_idx(x_s, y_s, H, W)
-        wsum = jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc) + jnp.abs(wd)
-        return x_s, y_s, y0i, x0i, wsum
+        wsum = wa + wb + wc + wd
+        return y0i, x0i, wsum
 
-    x_s, y_s, y0i, x0i, wsum = jax.device_get(coords_and_weights())
+    y0i, x0i, wsum = jax.device_get(coords_and_weights())
     BB = y0i.shape[0]
 
-    def blockpad(a):
-        """Mirror the production wrapper: edge-replicate to the block grid."""
+    def blockpad(a, mode="edge"):
         a = a.reshape(BB, oh, ow)
         OHp = -(-oh // ROWS) * ROWS
         OWp = -(-ow // COLS) * COLS
-        return np.pad(a, ((0, 0), (0, OHp - oh), (0, OWp - ow)), mode="edge")
+        return np.pad(a, ((0, 0), (0, OHp - oh), (0, OWp - ow)), mode=mode)
 
     y2 = blockpad(y0i)
     x2 = blockpad(x0i)
-    ws = blockpad(wsum)
-    xs2 = blockpad(x_s)
-    ys2 = blockpad(y_s)
+    live = blockpad((wsum > 0).astype(np.int32), mode="constant") > 0
     ohp, owp = y2.shape[1], y2.shape[2]
-
     nrb, ncb = ohp // ROWS, owp // COLS
     yb = y2.reshape(BB, nrb, ROWS, ncb, COLS)
     xb = x2.reshape(BB, nrb, ROWS, ncb, COLS)
-    wb_ = ws.reshape(BB, nrb, ROWS, ncb, COLS)
-    HP = max(-(-(H + 1) // RWIN) * RWIN, 4 * RWIN)
-    WP = -(-(W + 1) // COLS) * COLS + COLS
-    rorg = np.clip(yb.min(axis=(2, 4)) // RWIN, 0, HP // RWIN - 4)
-    corg = np.clip(xb.min(axis=(2, 4)) // COLS, 0, WP // COLS - 2)
-    yspan = yb.max(axis=(2, 4)) - rorg * RWIN
-    xspan = xb.max(axis=(2, 4)) - corg * COLS
-    vio_y = yspan > ROW_SPAN
-    vio_x = xspan > 2 * COLS - 2
-    print(f"blocks: {BB * nrb * ncb}, y-violating: {vio_y.sum()}, "
-          f"x-violating: {vio_x.sum()}")
-
-    # for each violating block: do any pixels with nonzero weight get
-    # clamped (i.e. their window-local coord was out of window)?
-    harmful = 0
-    examples = []
-    for b, i, j in zip(*np.nonzero(vio_y | vio_x)):
-        yl = yb[b, i, :, j, :] - rorg[b, i, j] * RWIN
-        xl = xb[b, i, :, j, :] - corg[b, i, j] * COLS
-        clamped = (yl < 0) | (yl > ROW_SPAN) | (xl < 0) | (xl > 2 * COLS - 2)
-        w_here = wb_[b, i, :, j, :]
-        bad = clamped & (w_here > 1e-6)
-        if bad.any():
-            harmful += 1
-            if len(examples) < 4:
-                rr, cc = np.nonzero(bad)
-                r0, c0 = rr[0], cc[0]
-                examples.append(
-                    (int(b), int(i), int(j),
-                     float(xs2[b, i * ROWS + r0, j * COLS + c0]),
-                     float(ys2[b, i * ROWS + r0, j * COLS + c0]),
-                     int(yb[b, i, r0, j, c0]), int(xb[b, i, r0, j, c0]),
-                     float(w_here[r0, c0]),
-                     int(yspan[b, i, j]), int(xspan[b, i, j])))
-    print(f"violating blocks with WEIGHTED clamped pixels: {harmful}")
-    for e in examples:
-        print("  b=%d blk=(%d,%d) xn=%.4f yn=%.4f y0=%d x0=%d w=%.4f "
-              "yspan=%d xspan=%d" % e)
-
-    # --- masked span statistics: what window does REAL data need? -------
-    # support: pixels that can produce nonzero output (outside it the four
-    # weights cancel pairwise against edge-padded equal corners — exact 0)
-    x0f = np.floor((xs2 + 1.0) * (W / 2.0))
-    y0f = np.floor((ys2 + 1.0) * (H / 2.0))
-    support = ((x0f >= 0) & (y0f >= 0) & (x0f < W - 1) & (y0f < H - 1))
-    # true-extent: pixels beyond the video's true canvas are cropped later
-    col_ok = np.arange(owp)[None, None, :] < span_w
-    row_ok = np.arange(ohp)[None, :, None] < span_h
-    live = support & col_ok & row_ok
     lb = live.reshape(BB, nrb, ROWS, ncb, COLS)
-    ymin = np.where(lb, yb, 10 ** 6).min(axis=(2, 4))
+
+    # mirror _patch_gather_planes' masked origins + budgets exactly
+    HP = max(-(-(H + 1) // RWIN) * RWIN, NT * RWIN)
+    WP = max(-(-(W + 1) // COLS) * COLS + (NCT - 1) * COLS, NCT * COLS)
+    big = 1 << 20
+    ymin = np.where(lb, yb, big).min(axis=(2, 4))
     ymax = np.where(lb, yb, -1).max(axis=(2, 4))
-    xmin = np.where(lb, xb, 10 ** 6).min(axis=(2, 4))
-    xmax = np.where(lb, xb, -1).max(axis=(2, 4))
+    xmin = np.where(lb, xb, big).min(axis=(2, 4))
+    rorg = np.clip(ymin // RWIN, 0, HP // RWIN - NT)
+    corg = np.clip(xmin // COLS, 0, WP // COLS - NCT)
+    span = ymax - rorg * RWIN
+    ntl = np.clip((span + 2 + RWIN - 1) // RWIN, 1, NT)
     any_live = lb.any(axis=(2, 4))
-    ysp = np.where(any_live, ymax - (ymin // RWIN) * RWIN, 0)
-    # x origin quantization is COLS (BlockSpec tile) — spans measured from
-    # the 128-quantized origin, like the kernel sees them
-    xsp = np.where(any_live, xmax - (xmin // COLS) * COLS, 0)
-    for name, sp in (("yspan(+8q)", ysp), ("xspan(+128q)", xsp)):
+
+    ysp = np.where(any_live, span, 0)
+    xsp = np.where(any_live,
+                   np.where(lb, xb, -1).max(axis=(2, 4)) - corg * COLS, 0)
+    for name, sp, budget in (("live yspan", ysp, Y_BUDGET),
+                             ("live xspan", xsp, X_BUDGET)):
         v = sp[any_live]
         print(f"{name}: max={v.max()} p99.9={np.percentile(v, 99.9):.0f} "
               f"p99={np.percentile(v, 99):.0f} p95={np.percentile(v, 95):.0f}"
-              f" mean={v.mean():.1f}")
-    for ntiles in (4, 8, 12, 16):
-        vy = (ysp > ntiles * RWIN - 2).sum()
-        print(f"  NTILES={ntiles} ({ntiles * RWIN}-row window): "
-              f"{vy} violating blocks")
-    for nct in (2, 3, 4):
-        vx = (xsp > nct * COLS - 2).sum()
-        print(f"  NCT={nct} ({nct * COLS}-col window): "
-              f"{vx} violating blocks")
+              f" mean={v.mean():.1f}  budget={budget}")
+
+    def expand(v):
+        return np.repeat(np.repeat(v, ROWS, axis=1), COLS, axis=2)
+
+    y0l = y2 - expand(rorg * RWIN)
+    x0l = x2 - expand(corg * COLS)
+    bad = live & ((y0l > Y_BUDGET) | (x0l > X_BUDGET) | (x0l < 0))
+    print(f"blocks: {BB * nrb * ncb} (live: {int(any_live.sum())}), "
+          f"live pixels: {int(live.sum())}, overflow (zeroed+flagged): "
+          f"{int(bad.sum())}")
+    print(f"dynamic trip count: mean={ntl[any_live].mean():.2f} "
+          f"p95={np.percentile(ntl[any_live], 95):.0f} max={ntl.max()} "
+          f"(of NT={NT} fetched)")
 
     # end-to-end delta on the first chunk, both paths
     i1 = jnp.asarray(v1[:B])

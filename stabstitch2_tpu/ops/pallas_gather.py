@@ -7,8 +7,9 @@ lowers that take_along_axis as an HBM gather at ~9 ns/lookup; at canvas
 resolution it is the single hottest device cost in the framework (~62% of
 per-video device time, BENCHMARKS.md round 3b).
 
-Kernel design (probe: examples/probe_pallas_gather2.py — measured on chip
-round 4: 3.24 ms vs 34.76 ms XLA at [16]x384x640, EXACT match, 10.7x):
+Kernel design v2 (round 4; v1 probe: examples/probe_pallas_gather2.py —
+3.24 ms vs 34.76 ms XLA at [16]x384x640, but its fixed 32x256 window broke
+on real meshes, BENCHMARKS.md round 4):
 
 - grid (B, OH/8, OW/128); each step emits an (8, 128) canvas block's four
   corner planes (y0x0, y0x1, y1x0, y1x1) as int32.
@@ -16,37 +17,36 @@ round 4: 3.24 ms vs 34.76 ms XLA at [16]x384x640, EXACT match, 10.7x):
   the gather dim (<=128 lanes; capability map:
   examples/probe_mosaic_gather.py), so the source window for a block is
   brought in by DATA-DEPENDENT BlockSpec index maps
-  (PrefetchScalarGridSpec): per-block row/col window origins — computed
-  outside with cheap jnp block-min reductions — select eight (8, 128)
-  tiles (4 row tiles x 2 column tiles = a 32x256 window) of the padded
-  packed image. No in-kernel dynamic slicing.
-- per window row r (static 32-iteration loop), ONE stacked (32, 128) lane
-  gather covers both column halves for both x0 and x0+1; row selection is
-  compare/select accumulation against the block-local y0.
+  (PrefetchScalarGridSpec): per-block row/col window origins select
+  NT x NCT (8, 128) tiles of the padded packed image — a generous
+  128-row x 384-col window at the defaults, sized so real smooth meshes
+  NEVER overflow it (measured span coverage:
+  examples/diag_gather_violation.py).
+- Window origins are SUPPORT-MASKED: only pixels that can produce nonzero
+  output (positive bilinear weight sum) constrain the block's window, so
+  edge-clamped dead pixels stop inflating the span (v1 used unmasked
+  mins — the main reason its 32-row budget overflowed).
+- A per-block DYNAMIC trip count (scalar-prefetched) processes only the
+  row tiles the block's live span actually needs — mean live span is
+  ~26 rows, so the average block runs ~4 of the 16 fetched tiles and the
+  generous window costs compute like v1's small one (fetching the unused
+  tiles is pure HBM->VMEM traffic, ~0.2 ms/chunk at production shapes).
+- per processed window row r (RWIN-unrolled under ``pl.when``), ONE
+  stacked (2*NCT*8, 128) lane gather covers all NCT column tiles for both
+  x0 and x0+1; row selection is compare/select accumulation against the
+  block-local y0.
 
-Window invariants (violations are detected, clamped, and reported — see
-``bilinear_sample_patch_u8_pallas``):
-- block source-row span (8-quantized origin) <= ROW_SPAN rows, i.e. y0+1
-  fits the 32-row window.
-- block source-col span (128-quantized origin) <= 254, i.e. x0+1 fits the
-  256-col double window.
+Exactness contract: every pixel whose four corners land inside its
+block's window (ALL live pixels on realistic meshes — asserted by the
+parity tests and measured on real smooth meshes) is bit-identical to the
+XLA path. A live pixel that overflows the window (pathological local TPS
+compression, never observed with the v2 window) contributes EXACT ZERO —
+its weights are zeroed in the wrapper — and raises the ``violated`` flag;
+dead pixels (zero weight sum) are exact zeros by the same cancellation
+the XLA path uses. Output is therefore always either exact or zero,
+never garbage (v1 clamped to nearest-in-window content instead).
 
-STATUS — OPT-IN, not the production default (round-4 verification): the
-row budget is consumed not just by the canvas->source y-slope (~<=1) but
-by SHEAR — d(src_y)/d(canvas_x) — times the 128-lane block width, and
-real TPS meshes (rotation + local compression + extrapolation overshoot)
-measured yspan p99=75 / max=113 rows and xspan max=287 cols on a real
-stitch (examples/diag_gather_violation.py), corrupting 11% of output
-pixels under the clamp. The XLA packed-patch gather stays the default;
-this kernel is a measured 10.7x opt-in for low-shear warps until the
-robust windowing (support-masked, shear-following origins, bounded exact
-repair) replaces it.
-
-The kernel is inference-only (no VJP) and exact: it returns the identical
-int32 corner planes the XLA gather produces, so the surrounding weight
-algebra (shared via ops.interp._patch_weights_idx/_combine_patch_u8) makes
-the full sampler bit-identical to ``bilinear_sample_patch_u8`` wherever
-the window invariants hold.
+The kernel is inference-only (no VJP): training uses the jnp path.
 """
 
 from __future__ import annotations
@@ -63,54 +63,66 @@ ROWS = 8        # canvas block height
 COLS = 128      # canvas block width (one vreg of lanes)
 RWIN = 8        # source row-window tile height (= origin quantization; 8
                 # keeps the quantization waste at <=7 rows of the window)
-NTILES = 4      # row tiles per window -> 32-row window
-RLOOP = NTILES * RWIN        # static row iterations (covers y0+1 too)
-ROW_SPAN = RLOOP - 2         # max block-local y0 (y0+1 must also fit)
+NT = 16         # row tiles fetched per block -> 128-row window
+NCT = 3         # column tiles fetched per block -> 384-col window
+Y_BUDGET = NT * RWIN - 2       # max block-local y0 (y0+1 must also fit)
+X_BUDGET = NCT * COLS - 2      # max block-local x0 (x0+1 must also fit)
 
 
-def _kernel(rorg_ref, corg_ref, w0l_ref, w1l_ref, w2l_ref, w3l_ref,
-            w0r_ref, w1r_ref, w2r_ref, w3r_ref, y0_ref, x0_ref, o_ref):
+def _kernel(rorg_ref, corg_ref, ntl_ref, *refs):
+    """refs: NT*NCT window tiles (row-major: tile k, column c), then
+    y0_ref, x0_ref (block-local corner coords), then o_ref."""
     del rorg_ref, corg_ref  # consumed by the index maps
-    left = (w0l_ref, w1l_ref, w2l_ref, w3l_ref)
-    right = (w0r_ref, w1r_ref, w2r_ref, w3r_ref)
+    wins = refs[:NT * NCT]
+    y0_ref, x0_ref, o_ref = refs[NT * NCT:]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    ntl = ntl_ref[b, i, j]
     y0 = y0_ref[0]                                  # (ROWS, COLS) int32
     x0 = x0_ref[0]                                  # window-local coords
     x1 = x0 + 1
-    idx = jnp.concatenate([
-        jnp.clip(x0, 0, COLS - 1),
-        jnp.clip(x0 - COLS, 0, COLS - 1),
-        jnp.clip(x1, 0, COLS - 1),
-        jnp.clip(x1 - COLS, 0, COLS - 1),
-    ], axis=0)                                      # (4*ROWS, COLS)
-    in_a0 = x0 < COLS
-    in_a1 = x1 < COLS
-    acc_a = jnp.zeros_like(x0)   # (y0, x0)
-    acc_c = jnp.zeros_like(x0)   # (y0, x1)
-    acc_b = jnp.zeros_like(x0)   # (y1, x0)
-    acc_d = jnp.zeros_like(x0)   # (y1, x1)
-    for r in range(RLOOP):
-        k, rr = r // RWIN, r % RWIN
-        row_a = left[k][0, rr:rr + 1, :]
-        row_b = right[k][0, rr:rr + 1, :]
-        src = jnp.concatenate([
-            jnp.broadcast_to(row_a, (ROWS, COLS)),
-            jnp.broadcast_to(row_b, (ROWS, COLS)),
-            jnp.broadcast_to(row_a, (ROWS, COLS)),
-            jnp.broadcast_to(row_b, (ROWS, COLS)),
-        ], axis=0)
-        g = jnp.take_along_axis(src, idx, axis=1)   # ONE (32,128) gather
-        g0 = jnp.where(in_a0, g[0:ROWS], g[ROWS:2 * ROWS])
-        g1 = jnp.where(in_a1, g[2 * ROWS:3 * ROWS], g[3 * ROWS:])
-        mt = y0 == r
-        mb = y0 == r - 1
-        acc_a = jnp.where(mt, g0, acc_a)
-        acc_c = jnp.where(mt, g1, acc_c)
-        acc_b = jnp.where(mb, g0, acc_b)
-        acc_d = jnp.where(mb, g1, acc_d)
-    o_ref[0, 0] = acc_a
-    o_ref[0, 1] = acc_c
-    o_ref[0, 2] = acc_b
-    o_ref[0, 3] = acc_d
+    idx = jnp.concatenate(
+        [jnp.clip(x0 - c * COLS, 0, COLS - 1) for c in range(NCT)]
+        + [jnp.clip(x1 - c * COLS, 0, COLS - 1) for c in range(NCT)],
+        axis=0)                                     # (2*NCT*ROWS, COLS)
+
+    def seg_select(g, x, base):
+        """Pick each lane's gathered value from its column segment."""
+        out = g[(base + NCT - 1) * ROWS:(base + NCT) * ROWS]
+        for c in range(NCT - 2, -1, -1):
+            out = jnp.where(x < (c + 1) * COLS,
+                            g[(base + c) * ROWS:(base + c + 1) * ROWS], out)
+        return out
+
+    o_ref[0] = jnp.zeros((4, ROWS, COLS), jnp.int32)
+    for k in range(NT):
+        @pl.when(k < ntl)
+        def _tile(k=k):
+            zero = jnp.zeros((ROWS, COLS), jnp.int32)
+            acc_a = acc_c = acc_b = acc_d = zero
+            for rr in range(RWIN):
+                r = k * RWIN + rr
+                rows = [wins[k * NCT + c][0, rr:rr + 1, :]
+                        for c in range(NCT)]
+                src = jnp.concatenate(
+                    [jnp.broadcast_to(rows[c], (ROWS, COLS))
+                     for c in range(NCT)] * 2, axis=0)
+                g = jnp.take_along_axis(src, idx, axis=1)  # ONE lane gather
+                g0 = seg_select(g, x0, 0)
+                g1 = seg_select(g, x1, NCT)
+                mt = y0 == r
+                mb = y0 == r - 1
+                acc_a = jnp.where(mt, g0, acc_a)
+                acc_c = jnp.where(mt, g1, acc_c)
+                acc_b = jnp.where(mb, g0, acc_b)
+                acc_d = jnp.where(mb, g1, acc_d)
+            # rows are disjoint across tiles and o_ref starts at zero, so
+            # the merge is a plain accumulate
+            o_ref[0, 0] += acc_a
+            o_ref[0, 1] += acc_c
+            o_ref[0, 2] += acc_b
+            o_ref[0, 3] += acc_d
 
 
 def _round_up(n: int, m: int) -> int:
@@ -119,53 +131,62 @@ def _round_up(n: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _patch_gather_planes(padded: jnp.ndarray, y0i: jnp.ndarray,
-                         x0i: jnp.ndarray, interpret: bool = False):
+                         x0i: jnp.ndarray, live: jnp.ndarray,
+                         interpret: bool = False):
     """padded: [B, HP, WP] int32 (packed, edge+zero padded); y0i/x0i:
     [B, OHp, OWp] CLAMPED absolute corner coords (OHp % 8 == 0,
-    OWp % 128 == 0). Returns ([B, 4, OHp, OWp] int32 planes in (a, c, b,
-    d) = (y0x0, y0x1, y1x0, y1x1) order, violated bool scalar)."""
+    OWp % 128 == 0); live: [B, OHp, OWp] bool — pixels with nonzero
+    bilinear weight sum (only these constrain the windows). Returns
+    ([B, 4, OHp, OWp] int32 planes in (a, c, b, d) = (y0x0, y0x1, y1x0,
+    y1x1) order, bad: [B, OHp, OWp] bool — live pixels whose corners
+    overflow their block's window; their planes are NOT exact and the
+    caller must zero their weights)."""
     B, HP, WP = padded.shape
     _, OHp, OWp = y0i.shape
     nrb, ncb = OHp // ROWS, OWp // COLS
 
     yb = y0i.reshape(B, nrb, ROWS, ncb, COLS)
     xb = x0i.reshape(B, nrb, ROWS, ncb, COLS)
-    rorg = jnp.clip(yb.min(axis=(2, 4)) // RWIN, 0,
-                    HP // RWIN - NTILES).astype(jnp.int32)
-    corg = jnp.clip(xb.min(axis=(2, 4)) // COLS, 0,
-                    WP // COLS - 2).astype(jnp.int32)
-    # window-invariant check: the kernel clamps out-of-window locals (a
-    # violated pixel samples the nearest in-window row/col instead of
-    # corrupting or zeroing), and the flag reports that it happened
-    yspan = yb.max(axis=(2, 4)) - rorg * RWIN
-    xspan = xb.max(axis=(2, 4)) - corg * COLS
-    violated = jnp.any(yspan > ROW_SPAN) | jnp.any(xspan > 2 * COLS - 2)
+    lb = live.reshape(B, nrb, ROWS, ncb, COLS)
+    big = jnp.int32(1 << 20)
+    ymin = jnp.where(lb, yb, big).min(axis=(2, 4))
+    ymax = jnp.where(lb, yb, -1).max(axis=(2, 4))
+    xmin = jnp.where(lb, xb, big).min(axis=(2, 4))
+    rorg = jnp.clip(ymin // RWIN, 0, HP // RWIN - NT).astype(jnp.int32)
+    corg = jnp.clip(xmin // COLS, 0, WP // COLS - NCT).astype(jnp.int32)
+    # dynamic trip count: row tiles covering the block's live span (+1 for
+    # the y0+1 corner row); dead blocks run one tile
+    span = ymax - rorg * RWIN
+    ntl = jnp.clip((span + 2 + RWIN - 1) // RWIN, 1, NT).astype(jnp.int32)
 
     def expand(v):
         return jnp.repeat(jnp.repeat(v, ROWS, axis=1), COLS, axis=2)
 
-    y0l = jnp.clip(y0i - expand(rorg * RWIN), 0, ROW_SPAN)
-    x0l = jnp.clip(x0i - expand(corg * COLS), 0, 2 * COLS - 2)
+    y0l = y0i - expand(rorg * RWIN)
+    x0l = x0i - expand(corg * COLS)
+    # live pixels beyond the window get exact-zero treatment upstream
+    # (weights zeroed); dead pixels are exact zeros by weight cancellation
+    # for ANY gathered value, so only live overflows matter
+    bad = live & ((y0l > Y_BUDGET) | (x0l > X_BUDGET) | (x0l < 0))
 
-    def win_spec(k, right):
+    def win_spec(k, c):
         return pl.BlockSpec(
             (1, RWIN, COLS),
-            lambda b, i, j, r, c, k=k, right=right: (b, r[b, i, j] + k,
-                                                     c[b, i, j] + right),
+            lambda b, i, j, r, cg, n, k=k, c=c: (b, r[b, i, j] + k,
+                                                 cg[b, i, j] + c),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nrb, ncb),
         in_specs=(
-            [win_spec(k, 0) for k in range(NTILES)]
-            + [win_spec(k, 1) for k in range(NTILES)]
+            [win_spec(k, c) for k in range(NT) for c in range(NCT)]
             + [pl.BlockSpec((1, ROWS, COLS),
-                            lambda b, i, j, r, c: (b, i, j),
+                            lambda b, i, j, r, cg, n: (b, i, j),
                             memory_space=pltpu.VMEM)] * 2
         ),
         out_specs=pl.BlockSpec((1, 4, ROWS, COLS),
-                               lambda b, i, j, r, c: (b, 0, i, j),
+                               lambda b, i, j, r, cg, n: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
     )
     planes = pl.pallas_call(
@@ -173,8 +194,8 @@ def _patch_gather_planes(padded: jnp.ndarray, y0i: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 4, OHp, OWp), jnp.int32),
         interpret=interpret,
-    )(rorg, corg, *([padded] * (2 * NTILES)), y0l, x0l)
-    return planes, violated
+    )(rorg, corg, ntl, *([padded] * (NT * NCT)), y0l, x0l)
+    return planes, bad
 
 
 def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
@@ -187,10 +208,10 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
     (out_h, out_w) raster (N == out_h*out_w — the kernel tiles the output
     spatially, so it needs the 2-D structure the flat samplers don't).
     Returns ([B, N, 3] float samples in x's dtype, violated bool scalar).
-    ``violated`` reports any window-invariant breach (extreme local TPS
-    compression); breached pixels are sampled from the nearest in-window
-    source row/col — a bounded, graceful degradation that realistic
-    meshes never trigger (asserted false in the parity tests).
+    ``violated`` reports a live pixel overflowing its block's source
+    window (never observed on real meshes with the v2 window — see module
+    docstring); such pixels contribute exact ZERO instead of garbage.
+    Everywhere else the result is bit-identical to the XLA path.
     """
     from stabstitch2_tpu.ops.interp import (
         _combine_patch_u8,
@@ -208,26 +229,40 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
 
     packed = pack_bgr_u8(im)
     # +1 edge row/col for the patch neighbors (same as the XLA path), then
-    # zero-pad to the window grid: rows to a multiple of RWIN, cols to a
-    # multiple of COLS with one spare COLS block so corg+1 always indexes
-    # a real block
-    HP = max(_round_up(H + 1, RWIN), NTILES * RWIN)
-    WP = _round_up(W + 1, COLS) + COLS
+    # zero-pad to the window grid: rows to a multiple of RWIN with at
+    # least NT tiles, cols to a multiple of COLS with at least NCT blocks
+    HP = max(_round_up(H + 1, RWIN), NT * RWIN)
+    WP = max(_round_up(W + 1, COLS) + (NCT - 1) * COLS, NCT * COLS)
     padded = jnp.pad(packed, ((0, 0), (0, 1), (0, 1)), mode="edge")
     padded = jnp.pad(padded, ((0, 0), (0, HP - (H + 1)), (0, WP - (W + 1))))
 
     wa, wb, wc, wd, y0i, x0i = _patch_weights_idx(x, y, H, W)
+    # support mask: the arithmetic coverage sum (== bilinear_mask) — dead
+    # pixels cancel to exact zero for any corner content, so they must not
+    # constrain the block windows
+    live2 = ((wa + wb + wc + wd) > 0).reshape(B, oh, ow)
     OHp, OWp = _round_up(oh, ROWS), _round_up(ow, COLS)
     y2 = y0i.reshape(B, oh, ow)
     x2 = x0i.reshape(B, oh, ow)
     if (OHp, OWp) != (oh, ow):
-        # edge-replicated coords keep the padding blocks' windows tight
         y2 = jnp.pad(y2, ((0, 0), (0, OHp - oh), (0, OWp - ow)), mode="edge")
         x2 = jnp.pad(x2, ((0, 0), (0, OHp - oh), (0, OWp - ow)), mode="edge")
+        live2 = jnp.pad(live2, ((0, 0), (0, OHp - oh), (0, OWp - ow)))
 
-    planes, violated = _patch_gather_planes(padded, y2, x2,
-                                            interpret=interpret)
+    planes, bad = _patch_gather_planes(padded, y2, x2, live2,
+                                       interpret=interpret)
     planes = planes[:, :, :oh, :ow].reshape(B, 4, oh * ow)
+    badf = bad[:, :oh, :ow].reshape(B, oh * ow)
+    # dead pixels are exact zeros in the XLA path (their weights cancel
+    # against EQUAL corner values); the kernel's dynamic trip count may
+    # leave some of a dead pixel's corner rows unprocessed (plane a real,
+    # plane b still zero), which would break that cancellation — so zero
+    # their weights outright: 0 is their exact value. Live overflow pixels
+    # (bad) get the same exact-zero treatment and raise the flag.
+    livef = live2[:, :oh, :ow].reshape(B, oh * ow)
+    keep = jnp.where(livef & ~badf, jnp.ones((), compute_dtype),
+                     jnp.zeros((), compute_dtype))
     out = _combine_patch_u8(planes[:, 0], planes[:, 2], planes[:, 1],
-                            planes[:, 3], wa, wb, wc, wd, compute_dtype)
-    return out, violated
+                            planes[:, 3], wa * keep, wb * keep, wc * keep,
+                            wd * keep, compute_dtype)
+    return out, jnp.any(badf)

@@ -293,10 +293,10 @@ def composite_finish(state, timer=None) -> Tuple[np.ndarray, Canvas]:
         import warnings
 
         warnings.warn(
-            "composite window-gather invariant violated (extreme local TPS "
-            "compression): affected pixels were clamped to the nearest "
-            "in-window source row/col. Re-run with pallas_gather=False "
-            "for the exact XLA gather path.", RuntimeWarning)
+            "composite window-gather overflow (extreme local TPS "
+            "compression): affected pixels were emitted as exact zeros. "
+            "Re-run with pallas_gather=False for the exact XLA gather "
+            "path.", RuntimeWarning)
     if timer is not None:
         timer.mark("download")
     # exact crop on host (device crops are 32-quantized, see composite_begin)

@@ -418,22 +418,36 @@ class TestPallasPatchGather:
             assert not viol
             np.testing.assert_allclose(got, ref, atol=1e-2)
 
-    def test_violation_flag_and_graceful_clamp(self):
-        # pathological warp: alternate rows sample the image top and
-        # bottom — the block row-span invariant breaks; the kernel must
-        # FLAG it and emit finite (nearest-in-window) samples, not crash
+    def test_violation_flag_and_exact_zero_overflow(self):
+        # pathological warp on an image TALLER than the 128-row window:
+        # alternate canvas rows sample the image top and bottom, so one
+        # block's live span overflows the window. The kernel must FLAG it
+        # and emit exact ZEROS for the overflowing pixels (never garbage),
+        # while pixels whose corners fit stay exact.
+        from stabstitch2_tpu.ops.interp import bilinear_sample_patch_u8
         from stabstitch2_tpu.ops.pallas_gather import (
             bilinear_sample_patch_u8_pallas)
 
+        rng = np.random.default_rng(9)
+        H, W = 220, 48
+        im = jnp.asarray(rng.integers(0, 256, (self.B, H, W, 3),
+                                      dtype=np.uint8))
         x, y = (np.asarray(v).reshape(self.B, self.OH, self.OW).copy()
                 for v in self._coords())
         y[:, 1::2] = 0.9  # near image bottom on odd canvas rows
+        x = jnp.asarray(x.reshape(self.B, -1))
+        y = jnp.asarray(y.reshape(self.B, -1))
         got, viol = bilinear_sample_patch_u8_pallas(
-            self._im(), jnp.asarray(x.reshape(self.B, -1)),
-            jnp.asarray(y.reshape(self.B, -1)), (self.OH, self.OW),
-            interpret=True)
+            im, x, y, (self.OH, self.OW), interpret=True)
         assert bool(viol)
-        assert np.isfinite(np.asarray(got)).all()
+        got = np.asarray(got)
+        ref = np.asarray(bilinear_sample_patch_u8(im, x, y))
+        ok = np.isclose(got, ref, atol=1e-2).all(axis=-1)
+        zeroed = (got == 0.0).all(axis=-1)
+        # every pixel is either exact or exact-zero; both kinds occur
+        assert (ok | zeroed).all()
+        assert (~ok & zeroed).any()
+        assert ok.any()
 
     def test_nan_coords_zero_and_flagged_ok(self):
         from stabstitch2_tpu.ops.pallas_gather import (
