@@ -10,7 +10,7 @@ dataclass, and the reference defaults are exposed as the named presets
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 # Control-point grid resolution: (GRID_H+1) x (GRID_W+1) control points.
 # Reference: SpatialWarp/Codes/grid_res.py:3-4 (identical in all 4 packages).
@@ -85,6 +85,17 @@ class StitchConfig:
     # next to the gather), so the default buys exactness for free —
     # BENCHMARKS.md round 4.
     coord_stride: int = 1
+    # Composite warp gather backend. None (default) auto-selects: the
+    # Mosaic window-gather kernel (ops/pallas_gather.py, ~4x the composite
+    # chunk on chip — BENCHMARKS.md round 4) on a single real TPU device,
+    # the XLA packed-patch gather everywhere else (CPU; GSPMD meshes,
+    # where a bare pallas_call cannot auto-partition). The kernel is
+    # exact-or-zero — any live pixel overflowing its source window (never
+    # observed on real meshes: live spans measure <=118 rows vs the
+    # 126-row budget) is flagged, and composite_finish transparently
+    # REPAIRS flagged chunks through the XLA path, so output is always
+    # exact. True/False force the choice.
+    pallas_gather: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -69,16 +69,23 @@ Y_BUDGET = NT * RWIN - 2       # max block-local y0 (y0+1 must also fit)
 X_BUDGET = NCT * COLS - 2      # max block-local x0 (x0+1 must also fit)
 
 
-def _kernel(rorg_ref, corg_ref, ntl_ref, *refs):
+def _kernel(nrb: int, ncb: int, rorg_ref, corg_ref, ntl_ref, *refs):
     """refs: NT*NCT window tiles (row-major: tile k, column c), then
-    y0_ref, x0_ref (block-local corner coords), then o_ref."""
+    y0_ref, x0_ref (block-local corner coords), then o_ref.
+
+    The scalar-prefetch operands (rorg/corg/ntl) are FLAT [B*nrb*ncb]
+    int32: Mosaic pads each SMEM array's trailing dims to vreg tiles
+    (8 sublanes x 128 lanes), so a [B, nrb, ncb] layout costs
+    B*roundup(nrb,8)*128 words — 3 x 448 KB at production shapes, which
+    overflows the 1 MB SMEM (measured on chip, round 4). Flat 1-D arrays
+    pad only to 128 lanes total."""
     del rorg_ref, corg_ref  # consumed by the index maps
     wins = refs[:NT * NCT]
     y0_ref, x0_ref, o_ref = refs[NT * NCT:]
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    ntl = ntl_ref[b, i, j]
+    ntl = ntl_ref[(b * nrb + i) * ncb + j]
     y0 = y0_ref[0]                                  # (ROWS, COLS) int32
     x0 = x0_ref[0]                                  # window-local coords
     x1 = x0 + 1
@@ -172,8 +179,9 @@ def _patch_gather_planes(padded: jnp.ndarray, y0i: jnp.ndarray,
     def win_spec(k, c):
         return pl.BlockSpec(
             (1, RWIN, COLS),
-            lambda b, i, j, r, cg, n, k=k, c=c: (b, r[b, i, j] + k,
-                                                 cg[b, i, j] + c),
+            lambda b, i, j, r, cg, n, k=k, c=c: (
+                b, r[(b * nrb + i) * ncb + j] + k,
+                cg[(b * nrb + i) * ncb + j] + c),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -190,11 +198,12 @@ def _patch_gather_planes(padded: jnp.ndarray, y0i: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
     planes = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, nrb, ncb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 4, OHp, OWp), jnp.int32),
         interpret=interpret,
-    )(rorg, corg, ntl, *([padded] * (NT * NCT)), y0l, x0l)
+    )(rorg.reshape(-1), corg.reshape(-1), ntl.reshape(-1),
+      *([padded] * (NT * NCT)), y0l, x0l)
     return planes, bad
 
 

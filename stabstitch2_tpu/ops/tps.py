@@ -254,8 +254,9 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        use_pallas: Optional[bool] = None,
                        grid_span: Optional[Tuple[int, int]] = None,
                        coord_stride: int = 1,
-                       use_pallas_gather: bool = False
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       use_pallas_gather: bool = False,
+                       return_viol: bool = False
+                       ) -> Tuple[jnp.ndarray, ...]:
     """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].
 
     The mask equals warping a concatenated ones-channel (the reference's
@@ -264,9 +265,10 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     per-lookup-bound, BENCHMARKS.md round-3b), so images stay 3-channel.
     uint8 NORMAL-mode inputs take the single packed-patch gather
     (interp.bilinear_sample_patch_u8); with ``use_pallas_gather`` that
-    gather runs as the Mosaic window kernel (ops/pallas_gather.py, 10.7x
-    on chip — TPU-only, not under GSPMD meshes; its window-invariant flag
-    is dropped here, breaches clamp gracefully)."""
+    gather runs as the Mosaic window kernel (ops/pallas_gather.py, ~2.8x
+    on chip — TPU-only, not under GSPMD meshes). ``return_viol`` appends
+    the kernel's window-overflow flag (a bool scalar; affected pixels are
+    emitted as exact zeros) so callers can repair through the XLA path."""
     from stabstitch2_tpu.ops.interp import (
         bilinear_mask,
         grid_sample_mask_align_corners,
@@ -280,13 +282,14 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     x_s, y_s = tps_sample_coords(T, source, out_size, grid_span=grid_span,
                                  use_pallas=use_pallas,
                                  coord_stride=coord_stride)
+    viol = jnp.zeros((), jnp.bool_)
     if mode == "NORMAL":
         if im.dtype == jnp.uint8 and im.shape[-1] == 3:
             if use_pallas_gather:
                 from stabstitch2_tpu.ops.pallas_gather import (
                     bilinear_sample_patch_u8_pallas)
 
-                sampled, _ = bilinear_sample_patch_u8_pallas(
+                sampled, viol = bilinear_sample_patch_u8_pallas(
                     im, x_s, y_s, out_size)
             else:
                 from stabstitch2_tpu.ops.interp import (
@@ -301,8 +304,9 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
         m = grid_sample_mask_align_corners(H, W, x_s, y_s)
     else:
         raise ValueError(f"unknown warp mode {mode!r}")
-    return (sampled.reshape(B, out_h, out_w, im.shape[-1]),
-            m.reshape(B, out_h, out_w))
+    out = (sampled.reshape(B, out_h, out_w, im.shape[-1]),
+           m.reshape(B, out_h, out_w))
+    return out + (viol,) if return_viol else out
 
 
 def tps_transform_points(points: jnp.ndarray, source: jnp.ndarray,

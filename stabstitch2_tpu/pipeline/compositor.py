@@ -198,14 +198,18 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
     """
     config = config or StitchConfig()
     if pallas_gather is None:
-        # OFF by default: the Mosaic window-gather kernel (10.7x the XLA
-        # HBM gather on low-shear warps) assumes block-local source
-        # windows, and real TPS meshes with rotation/compression break
-        # that invariant — measured 11% corrupted pixels on a real stitch
-        # (examples/diag_gather_violation.py, BENCHMARKS.md round 4).
-        # Opt-in until the robust windowing lands; also never under a
-        # GSPMD mesh (a bare pallas_call cannot auto-partition).
-        pallas_gather = False
+        pallas_gather = getattr(config, "pallas_gather", None)
+    if pallas_gather is None:
+        # Auto (round 4): the v2 window-gather kernel is the TPU default —
+        # support-masked window origins cover every live span measured on
+        # real smooth meshes (max 118 rows vs the 126-row budget,
+        # examples/diag_gather_violation.py), and any residual overflow is
+        # exact-or-zero + flagged, which composite_finish transparently
+        # repairs through the XLA path. Callers under a GSPMD mesh pass
+        # False explicitly (a bare pallas_call cannot auto-partition);
+        # CPU stays on the XLA gather (interpret mode is test-only).
+        pallas_gather = (config.warp_mode == "NORMAL"
+                         and jax.default_backend() == "tpu")
     out_format = getattr(config, "download_format", "bgr")
     _, H, W, _ = img1.shape
     # img arrays may be LONGER than the true frame count (dp inference pads
@@ -254,28 +258,36 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
             i2 = jnp.pad(i2, ((0, pad), (0, 0), (0, 0), (0, 0)))
             mm1 = jnp.concatenate([mm1, jnp.tile(mm1[-1:], (pad, 1, 1, 1))], 0)
             mm2 = jnp.concatenate([mm2, jnp.tile(mm2[-1:], (pad, 1, 1, 1))], 0)
-        fused, viol = _composite_chunk(i1, i2, mm1, mm2, offset,
-                                       (canvas.pad_h, canvas.pad_w),
-                                       config.warp_mode, config.fusion_mode,
-                                       grid_span=grid_span,
-                                       out_format=out_format,
-                                       coord_stride=getattr(
-                                           config, "coord_stride", 1),
-                                       pallas_gather=pallas_gather)
-        if out_format == "yuv420":
-            yp, up, vp = fused
-            cropped = (yp[:e - s, :ohq, :owq],
-                       up[:e - s, :ohq // 2, :owq // 2],
-                       vp[:e - s, :ohq // 2, :owq // 2])
-        else:
-            cropped = (fused[:e - s, :ohq, :owq],)
+        def run(i1=i1, i2=i2, mm1=mm1, mm2=mm2, n=e - s, pg=pallas_gather):
+            fused, viol = _composite_chunk(i1, i2, mm1, mm2, offset,
+                                           (canvas.pad_h, canvas.pad_w),
+                                           config.warp_mode,
+                                           config.fusion_mode,
+                                           grid_span=grid_span,
+                                           out_format=out_format,
+                                           coord_stride=getattr(
+                                               config, "coord_stride", 1),
+                                           pallas_gather=pg)
+            if out_format == "yuv420":
+                yp, up, vp = fused
+                cropped = (yp[:n, :ohq, :owq],
+                           up[:n, :ohq // 2, :owq // 2],
+                           vp[:n, :ohq // 2, :owq // 2])
+            else:
+                cropped = (fused[:n, :ohq, :owq],)
+            return cropped, viol
+
+        cropped, viol = run()
         # request the d2h copies NOW so chunk k downloads while k+1 computes
         for c in cropped:
             try:
                 c.copy_to_host_async()
             except AttributeError:
                 pass
-        pending.append((cropped, viol))
+        # the repair closure retains the chunk's device inputs only while
+        # the pallas path (whose rare window overflows it repairs) is on
+        repair = (lambda r=run: r(pg=False)[0]) if pallas_gather else None
+        pending.append((cropped, viol, repair))
     return pending, canvas, out_format, (oh, ow)
 
 
@@ -286,17 +298,25 @@ def composite_finish(state, timer=None) -> Tuple[np.ndarray, Canvas]:
         # warp_fuse = until the last chunk's compute finishes; download =
         # the residual fetch time (d2h copies were already issued async,
         # so the split is attribution, not strict serialization)
-        timer.mark("warp_fuse", sync=pending[-1])
-    outs_and_viol = jax.device_get(pending)
+        timer.mark("warp_fuse", sync=pending[-1][:2])
+    outs_and_viol = jax.device_get([(c, v) for c, v, _ in pending])
     outs = [o for o, _ in outs_and_viol]
-    if any(bool(v) for _, v in outs_and_viol):
+    bad = [i for i, (_, v) in enumerate(outs_and_viol) if bool(v)]
+    if bad:
+        # Exact repair: a flagged chunk had live pixels overflow the
+        # window-gather kernel's source window (emitted as exact zeros,
+        # never garbage) — recompute it through the XLA packed-patch
+        # gather, which is exact everywhere. Never observed on real
+        # meshes (diag: live spans <=118 rows vs the 126 budget); the
+        # first repair per canvas bucket pays that program's compile.
+        for i in bad:
+            outs[i] = jax.device_get(pending[i][2]())
         import warnings
 
         warnings.warn(
-            "composite window-gather overflow (extreme local TPS "
-            "compression): affected pixels were emitted as exact zeros. "
-            "Re-run with pallas_gather=False for the exact XLA gather "
-            "path.", RuntimeWarning)
+            f"composite window-gather overflow on {len(bad)} chunk(s) "
+            "(extreme local TPS compression): repaired exactly through "
+            "the XLA gather path.", RuntimeWarning)
     if timer is not None:
         timer.mark("download")
     # exact crop on host (device crops are 32-quantized, see composite_begin)

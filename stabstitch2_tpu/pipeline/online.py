@@ -66,6 +66,16 @@ class OnlineStitcher:
         self.canvas_margin = canvas_margin
         self.emit_format = emit_format
         self.cfg: StitchConfig = stitcher.config
+        # same auto policy as compositor.composite_begin: the v2 window-
+        # gather kernel on a single real TPU device; the viol flag rides
+        # the per-push fetch (with the extents) so a rare overflow repairs
+        # by re-dispatching that batch through the XLA gather
+        pg = getattr(self.cfg, "pallas_gather", None)
+        if pg is None:
+            pg = (self.cfg.warp_mode == "NORMAL"
+                  and jax.default_backend() == "tpu"
+                  and stitcher.mesh is None)
+        self._pallas_gather = bool(pg)
         mh, mw = stitcher.model_h, stitcher.model_w
         self.mh, self.mw = mh, mw
 
@@ -214,23 +224,23 @@ class OnlineStitcher:
             self._establish_canvas(m1, m2, 0, 0)
         self.reanchor_frames.append(self._t)
 
-    def _enqueue_composite(self, hi1, hi2, m1, m2):
+    def _enqueue_composite(self, hi1, hi2, m1, m2, pallas_gather=None):
         """Dispatch one BATCH of composites against the CURRENT canvas and
-        return (cropped device planes, device extents) without any host
-        sync — the caller fetches everything together (one round trip).
-        Two compiled programs exist per stream: B=1 (steady state, every
-        push) and B=WINDOW (the first-window burst, once)."""
+        return (cropped device planes, device extents, viol flag) without
+        any host sync — the caller fetches everything together (one round
+        trip; the viol flag rides that same fetch for free). Two compiled
+        programs exist per stream: B=1 (steady state, every push) and
+        B=WINDOW (the first-window burst, once)."""
         c = self.canvas
-        # pallas_gather stays OFF: real-mesh shear breaks the window-
-        # gather invariant (compositor.composite_begin, BENCHMARKS round
-        # 4); the streaming path also could not surface the violation
-        # flag without a host round trip per push
-        fused, _viol = _composite_chunk(
+        if pallas_gather is None:
+            pallas_gather = self._pallas_gather
+        fused, viol = _composite_chunk(
             jnp.asarray(hi1), jnp.asarray(hi2), m1, m2,
             self._offset, (c.pad_h, c.pad_w),
             self.cfg.warp_mode, self.cfg.fusion_mode,
             grid_span=(c.out_h, c.out_w),
-            out_format="yuv420" if self.emit_format == "i420" else "bgr")
+            out_format="yuv420" if self.emit_format == "i420" else "bgr",
+            pallas_gather=pallas_gather)
         oh, ow = self._emit_hw()
         if self.emit_format == "i420":
             yp, up, vp = fused
@@ -246,7 +256,7 @@ class OnlineStitcher:
                 p.copy_to_host_async()
             except AttributeError:
                 pass
-        return planes, ext
+        return planes, ext, viol
 
     def _emit_hw(self):
         c = self.canvas
@@ -285,17 +295,33 @@ class OnlineStitcher:
         # round trips — batching it is most of the burst. Cost: a second
         # compiled composite program (B=WINDOW, used once per stream) next
         # to the steady-state B=1 program.
-        pend = [self._enqueue_composite(his1, his2, m1, m2)]
-        fetched = jax.device_get(pend)
-        exts = np.stack([e for _, e in fetched])
+        def run(pg=None):
+            fetched = jax.device_get(
+                [self._enqueue_composite(his1, his2, m1, m2,
+                                         pallas_gather=pg)])
+            if pg is None and any(bool(v) for _, _, v in fetched):
+                # rare window-gather overflow (exact zeros, flagged):
+                # repair by re-dispatching through the XLA gather
+                import warnings
+
+                warnings.warn(
+                    "online composite window-gather overflow: batch "
+                    "repaired exactly through the XLA gather path.",
+                    RuntimeWarning)
+                fetched = jax.device_get(
+                    [self._enqueue_composite(his1, his2, m1, m2,
+                                             pallas_gather=False)])
+            return fetched
+
+        fetched = run()
+        exts = np.stack([e for _, e, _ in fetched])
         ext = np.array([exts[:, 0].min(), exts[:, 1].max(),
                         exts[:, 2].min(), exts[:, 3].max()])
         if not self._ext_fits(ext):
             self._reanchor(m1, m2)
-            fetched = jax.device_get(
-                [self._enqueue_composite(his1, his2, m1, m2)])
+            fetched = run()
         return [self._pack(tuple(p[i] for p in planes))
-                for planes, _ in fetched
+                for planes, _, _ in fetched
                 for i in range(planes[0].shape[0])]
 
     def _composite_one(self, hi1, hi2, mesh1, mesh2) -> np.ndarray:

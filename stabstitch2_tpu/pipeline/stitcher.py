@@ -443,7 +443,12 @@ class VideoStitcher:
         state = composite_begin(hi1_dev, hi2_dev, smooth["smooth_mesh1"],
                                 smooth["smooth_mesh2"],
                                 config=self.config, chunk=self.chunk,
-                                model_size=(mh, mw), n_frames=T)
+                                model_size=(mh, mw), n_frames=T,
+                                # a bare pallas_call cannot auto-partition
+                                # under GSPMD; dp inference keeps the XLA
+                                # packed-patch gather
+                                pallas_gather=(False if self.mesh is not None
+                                               else None))
         return _PendingStitch(state=state, smooth=smooth, timer=timer, T=T)
 
     def stitch_finish(self, pending: "_PendingStitch") -> StitchResult:

@@ -137,12 +137,12 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
     # (BENCHMARKS.md round-3b)
     from stabstitch2_tpu.ops.pallas_warp import pallas_available
 
-    warped, masks = tps_warp_with_mask(
+    warped, masks, viol = tps_warp_with_mask(
         im, src, tgt, (oh, ow), mode=warp_mode,
         grid_span=(span_h, span_w),
         use_pallas=(pallas_available() if coord_stride == 1 else None),
         coord_stride=coord_stride,
-        use_pallas_gather=pallas_gather)
+        use_pallas_gather=pallas_gather, return_viol=True)
     warped = warped.reshape(V, B, oh, ow, 3)
     masks = masks.reshape(V, B, oh, ow)
     # cascaded fusion left -> right (reference :486-503)
@@ -160,8 +160,8 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
     if out_format == "yuv420":
         from stabstitch2_tpu.ops.yuv import bgr_to_yuv420
 
-        return bgr_to_yuv420(fused)
-    return fused.astype(jnp.uint8)
+        return bgr_to_yuv420(fused), viol
+    return fused.astype(jnp.uint8), viol
 
 
 def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
@@ -179,10 +179,15 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
     """
     T, H, W = images[0].shape[0], images[0].shape[1], images[0].shape[2]
     if pallas_gather is None:
-        # OFF by default: real-mesh shear breaks the window-gather
-        # invariant (see compositor.composite_begin / BENCHMARKS round 4);
-        # opt-in until the robust windowing lands
-        pallas_gather = False
+        pallas_gather = getattr(config, "pallas_gather", None)
+    if pallas_gather is None:
+        # Auto: same policy as compositor.composite_begin — the v2
+        # window-gather kernel on a single real TPU device (exact-or-zero
+        # + repaired at finish), the XLA packed-patch gather elsewhere.
+        import jax
+
+        pallas_gather = (config.warp_mode == "NORMAL"
+                         and jax.default_backend() == "tpu")
     out_format = getattr(config, "download_format", "bgr")
     stacked = jnp.concatenate(meshes, axis=0)  # all views' frames
     canvas = compute_canvas(stacked, stacked, config.canvas_bucket)
@@ -236,24 +241,32 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
         # normalize by the TRUE canvas extents (grid_span), not the padded
         # bucket — TPS is only similarity-invariant, so the padded extent
         # must not leak in (same invariant as the 2-view compositor)
-        fused = _composite_chain_chunk(
-            iv, mv, offset, (canvas.pad_h, canvas.pad_w), config.warp_mode,
-            config.fusion_mode, grid_span=grid_span, out_format=out_format,
-            coord_stride=getattr(config, "coord_stride", 1),
-            pallas_gather=pallas_gather)
-        if out_format == "yuv420":
-            yp, up, vp = fused
-            cropped = (yp[:e - s, :ohq, :owq],
-                       up[:e - s, :ohq // 2, :owq // 2],
-                       vp[:e - s, :ohq // 2, :owq // 2])
-        else:
-            cropped = (fused[:e - s, :ohq, :owq],)
+        def run(iv=iv, mv=mv, n=e - s, pg=pallas_gather):
+            fused, viol = _composite_chain_chunk(
+                iv, mv, offset, (canvas.pad_h, canvas.pad_w),
+                config.warp_mode, config.fusion_mode, grid_span=grid_span,
+                out_format=out_format,
+                coord_stride=getattr(config, "coord_stride", 1),
+                pallas_gather=pg)
+            if out_format == "yuv420":
+                yp, up, vp = fused
+                cropped = (yp[:n, :ohq, :owq],
+                           up[:n, :ohq // 2, :owq // 2],
+                           vp[:n, :ohq // 2, :owq // 2])
+            else:
+                cropped = (fused[:n, :ohq, :owq],)
+            return cropped, viol
+
+        cropped, viol = run()
         for c in cropped:  # request d2h NOW: chunk k drains under k+1
             try:
                 c.copy_to_host_async()
             except AttributeError:
                 pass
-        pending.append(cropped)
+        # repair closure: retains this chunk's device inputs only while
+        # the window-gather kernel (whose rare overflows it repairs) is on
+        repair = (lambda r=run: r(pg=False)[0]) if pallas_gather else None
+        pending.append((cropped, viol, repair))
     return pending, canvas, out_format
 
 
@@ -264,7 +277,20 @@ def composite_chain_finish(state) -> Tuple[np.ndarray, str]:
     packed I420 [T, oh*3//2, ow] for 'i420'."""
     pending, canvas, out_format = state
     oh, ow = canvas.out_h, canvas.out_w
-    outs = jax.device_get(pending)
+    outs_and_viol = jax.device_get([(c, v) for c, v, _ in pending])
+    outs = [o for o, _ in outs_and_viol]
+    bad = [i for i, (_, v) in enumerate(outs_and_viol) if bool(v)]
+    if bad:
+        # exact repair through the XLA gather, same contract as
+        # compositor.composite_finish
+        for i in bad:
+            outs[i] = jax.device_get(pending[i][2]())
+        import warnings
+
+        warnings.warn(
+            f"composite window-gather overflow on {len(bad)} chunk(s) "
+            "(extreme local TPS compression): repaired exactly through "
+            "the XLA gather path.", RuntimeWarning)
     # exact crop on host (device crops are 32-quantized)
     if out_format == "yuv420":
         from stabstitch2_tpu.data.video_io import pack_i420_host

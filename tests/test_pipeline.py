@@ -174,6 +174,45 @@ class TestCompositor:
             assert frac_diff < 0.01, frac_diff
 
 
+    def test_pallas_gather_overflow_repairs_exactly(self):
+        """A genuine window overflow (extreme downscale: one 8-row canvas
+        block's live pixels span more source rows than the kernel's
+        128-row window) must raise the flag — and composite_finish must
+        transparently REPAIR the flagged chunks through the XLA gather,
+        so the emitted frames are bit-identical to pallas_gather=False."""
+        import warnings
+
+        from stabstitch2_tpu.config import StitchConfig
+        from stabstitch2_tpu.pipeline import compositor as comp_mod
+
+        rng = np.random.default_rng(7)
+        T, H, W = 2, 360, 480
+        i1 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        i2 = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+        xs, ys = np.linspace(0.0, W, 9), np.linspace(0.0, H, 7)
+        base = np.stack(np.meshgrid(xs, ys), -1)[None]
+        # shrink the whole 360x480 image into a ~22x30 canvas: each 8-row
+        # canvas block then spans ~130 source rows > the 126-row budget
+        m1 = jnp.asarray(np.broadcast_to(base * 0.0625,
+                                         (T, 7, 9, 2)).astype(np.float32))
+        m2 = m1 + 2.0
+        cfg = StitchConfig(canvas_bucket=32)
+        ref, _ = comp_mod.composite_finish(
+            comp_mod.composite_begin(i1, i2, m1, m2, config=cfg, chunk=2,
+                                     model_size=(H, W),
+                                     pallas_gather=False))
+        with warnings.catch_warnings(record=True) as wlist:
+            warnings.simplefilter("always")
+            got, _ = comp_mod.composite_finish(
+                comp_mod.composite_begin(i1, i2, m1, m2, config=cfg,
+                                         chunk=2, model_size=(H, W),
+                                         pallas_gather=True))
+        msgs = [str(w.message) for w in wlist
+                if issubclass(w.category, RuntimeWarning)]
+        assert any("repaired exactly" in m for m in msgs), msgs
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestYUV:
     def test_bgr_to_yuv420_matches_cv2(self):
         import cv2
