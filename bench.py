@@ -55,11 +55,10 @@ def main():
     pack = (lambda v: v) if os.environ.get("BENCH_UPLOAD") == "bgr" \
         else bgr_to_i420
 
-    # BENCH_FUSED_MOTION=1: phases 1-4 as 2 dispatches (motion_smooth)
-    # instead of ~20 eager chunk dispatches — A/B knob for dispatch-bound
-    # single-video latency
-    if os.environ.get("BENCH_FUSED_MOTION") == "1":
-        stitcher.fused_motion = True
+    # fused motion (phases 1-4 as 2 dispatches) is the round-4 default;
+    # BENCH_FUSED_MOTION=0 measures the eager chunked A/B leg
+    if os.environ.get("BENCH_FUSED_MOTION") == "0":
+        stitcher.fused_motion = False
 
     # TRUE device execution, measured FIRST: after the throughput passes
     # the relay link is saturated/throttled for the process lifetime

@@ -49,10 +49,15 @@ def _add_stitcher_args(p):
                         "enqueued in one go, maximizing cross-video overlap "
                         "(per-phase fps become enqueue-side approximations)")
     p.add_argument("--fused_motion", action="store_true",
-                   help="run phases 1-4 as two fused device programs "
-                        "instead of ~20 chunked dispatches (wins when "
-                        "dispatch round trips dominate, e.g. a remote "
-                        "chip; per-phase attribution collapses)")
+                   help="(default since round 4) run phases 1-4 as two "
+                        "fused device programs instead of ~20 chunked "
+                        "dispatches; kept for compatibility")
+    p.add_argument("--eager_motion", action="store_true",
+                   help="run phases 1-4 as eager chunked dispatches: "
+                        "restores the reference-style per-phase "
+                        "spatial/temporal fps attribution (and the "
+                        "view-1-compute-under-view-2-upload overlap) at "
+                        "~35 ms/video extra device time")
     p.add_argument("--upload_format", choices=["i420", "bgr"], default=None,
                    help="frame upload packing: i420 = 4:2:0, 1.5 bytes/px "
                         "(source jpgs/mp4s are 4:2:0 anyway), bgr = raw "
@@ -76,8 +81,8 @@ def _build_stitcher(args, download_default="bgr"):
         n_devices=getattr(args, "n_devices", None))
     if getattr(args, "no_phase_sync", False):
         stitcher.sync_phases = False
-    if getattr(args, "fused_motion", False):
-        stitcher.fused_motion = True
+    if getattr(args, "eager_motion", False):
+        stitcher.fused_motion = False
     return stitcher
 
 

@@ -85,12 +85,18 @@ class VideoStitcher:
     # all-reduce every conv; TP exists for training (parallel/sharding.py)
     # where optimizer+activation memory is the constraint.
     mesh: Optional["jax.sharding.Mesh"] = None
-    # True: run phases 1-4 through motion_smooth (2 dispatches instead of
-    # ~20 eager chunk dispatches) in the bulk stitch paths. Costs the
-    # per-phase spatial/temporal attribution and the view-1-compute-under-
-    # view-2-upload overlap; wins when dispatch round trips dominate
-    # (single-video latency through a remote tunnel). Off by default.
-    fused_motion: bool = False
+    # True (default, round-4 chip A/B): run phases 1-4 through
+    # motion_smooth (2 dispatches instead of ~20 eager chunk dispatches)
+    # in the bulk stitch paths. Fused is ~35 ms/video cheaper on device
+    # (67.7 vs 102 ms motion, BENCH_r03 device_phase_ms) and won
+    # single-video wall in all interleaved A/B reps (17.5/21.9/18.1 vs
+    # 16.9/21.6/15.3 fps) with sustained a wash inside link noise
+    # (examples/ab_fused_motion.py, BENCHMARKS round 4). Costs the
+    # per-phase spatial/temporal attribution — set False (cli
+    # --eager_motion) to get the reference-style phase breakdown and the
+    # view-1-compute-under-view-2-upload overlap. upload_mode='stream'
+    # keeps its own eager per-chunk interleave regardless.
+    fused_motion: bool = True
     # True: block on each phase so StitchResult carries the reference-style
     # per-phase fps/ms attribution (test_online_ssd.py:302,395,402,418).
     # False: enqueue the whole video without intermediate host syncs — the

@@ -609,6 +609,7 @@ class TestFusedMotionParity:
         cfg = StitchConfig(canvas_bucket=32)
         st = init_stitcher(rng_seed=0, model_h=mh, model_w=mw, chunk=4,
                            config=cfg)
+        st.fused_motion = False   # eager leg (fused is the default)
         ref = st.stitch_arrays(v1, None, v2, None)
         st.fused_motion = True
         got = st.stitch_arrays(v1, None, v2, None)
