@@ -191,12 +191,14 @@ def main():
         # TRUE device execution (fresh on-device inputs, no host transfers
         # in the timed region, one block at the end — the
         # examples/measure_device_compute.py methodology)
+        # production defaults (round 4): fused motion + window-gather
+        # composite
         "device_compute_ms_per_video": dev["total_ms"],
         "device_fps_equiv": dev["fps_equiv"],
-        # same video through the ONE-dispatch fused motion program
-        # (--fused_motion / metric / N-view path): no eager chunk glue
-        "device_compute_ms_fused_motion": dev["total_ms_fused_motion"],
-        "device_fps_equiv_fused_motion": dev["fps_equiv_fused_motion"],
+        # same video through the eager chunked motion drivers (cli
+        # --eager_motion: reference-style per-phase attribution)
+        "device_compute_ms_eager_motion": dev["total_ms_eager_motion"],
+        "device_fps_equiv_eager_motion": dev["fps_equiv_eager_motion"],
         "device_phase_ms": dev["phases"],
         "phase_ms": {k: round(v, 1) for k, v in result.ms.items()},
         "phase_fps_cumulative": {k: round(v, 2) for k, v in
@@ -334,12 +336,13 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
                                 coord_stride=cfg.coord_stride,
                                 pallas_gather=pallas_gather)
 
-    # production default: the exact XLA packed-patch gather (the Mosaic
-    # window-gather kernel is opt-in — real-mesh shear breaks its window
-    # invariant, BENCHMARKS.md round 4)
-    cp = timeit(comp)
-    # the opt-in Pallas window-gather path, for the A/B record in the JSON
-    cp_pallas = timeit(lambda i: comp(i, pallas_gather=True))
+    # production default (round 4): the v2 Mosaic window-gather kernel
+    # (exact-or-zero + XLA repair of never-observed overflows,
+    # BENCHMARKS.md round 4)
+    cp = timeit(lambda i: comp(i, pallas_gather=True))
+    # the exact XLA packed-patch gather (CPU/GSPMD path), for the A/B
+    # record in the JSON
+    cp_xla = timeit(comp)
 
     # the fused motion program (VideoStitcher._motion_fused: spatial +
     # both views' temporal + transport as ONE dispatch, the path `cli
@@ -352,19 +355,20 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
                                            lo[2 * i], lo[2 * i + 1]))
 
     n_chunks = -(-T // chunk)
-    total = sp + 2 * tp + sm + cp * n_chunks
+    # production default (round 4): fused motion + window-gather composite;
+    # the eager-motion pair is the --eager_motion attribution path
     total_fused = mf + sm + cp * n_chunks
+    total_eager = sp + 2 * tp + sm + cp * n_chunks
     return {
-        "total_ms": round(total, 1),
-        "fps_equiv": round(T * 1000.0 / total, 0),
-        "total_ms_fused_motion": round(total_fused, 1),
-        "fps_equiv_fused_motion": round(T * 1000.0 / total_fused, 0),
+        "total_ms": round(total_fused, 1),
+        "fps_equiv": round(T * 1000.0 / total_fused, 0),
+        "total_ms_eager_motion": round(total_eager, 1),
+        "fps_equiv_eager_motion": round(T * 1000.0 / total_eager, 0),
         "phases": {"spatial": round(sp, 1), "temporal_x2": round(2 * tp, 1),
                    "smooth": round(sm, 1),
                    "composite": round(cp * n_chunks, 1),
-                   "composite_pallas_gather_alt": round(cp_pallas * n_chunks,
-                                                        1),
-                   "motion_fused_alt": round(mf, 1)},
+                   "composite_xla_gather_alt": round(cp_xla * n_chunks, 1),
+                   "motion_fused": round(mf, 1)},
     }
 
 

@@ -210,13 +210,16 @@ def _patch_gather_planes(padded: jnp.ndarray, y0i: jnp.ndarray,
 def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
                                     y: jnp.ndarray,
                                     out_hw: Tuple[int, int],
-                                    interpret: bool | None = None):
+                                    interpret: bool | None = None,
+                                    combine_layout: str = "flat"):
     """Kernel-backed :func:`ops.interp.bilinear_sample_patch_u8`.
 
     im: [B, H, W, 3] uint8; x, y: [B, N] normalized coords laid out as an
     (out_h, out_w) raster (N == out_h*out_w — the kernel tiles the output
     spatially, so it needs the 2-D structure the flat samplers don't).
-    Returns ([B, N, 3] float samples in x's dtype, violated bool scalar).
+    Returns ([B, out_h, out_w, 3] float samples in x's dtype — the 2-D
+    canvas layout, so callers' reshape-to-canvas is an identity and the
+    crop slice fuses downstream — and a violated bool scalar).
     ``violated`` reports a live pixel overflowing its block's source
     window (never observed on real meshes with the v2 window — see module
     docstring); such pixels contribute exact ZERO instead of garbage.
@@ -260,18 +263,43 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
 
     planes, bad = _patch_gather_planes(padded, y2, x2, live2,
                                        interpret=interpret)
-    planes = planes[:, :, :oh, :ow].reshape(B, 4, oh * ow)
-    badf = bad[:, :oh, :ow].reshape(B, oh * ow)
     # dead pixels are exact zeros in the XLA path (their weights cancel
     # against EQUAL corner values); the kernel's dynamic trip count may
     # leave some of a dead pixel's corner rows unprocessed (plane a real,
     # plane b still zero), which would break that cancellation — so zero
     # their weights outright: 0 is their exact value. Live overflow pixels
     # (bad) get the same exact-zero treatment and raise the flag.
+    #
+    # combine_layout picks WHERE the weighted unpack runs — XLA:TPU's
+    # fusion choices differ sharply by downstream consumer (chip-measured,
+    # BENCHMARKS.md round 4):
+    #  - 'canvas2d': combine in the PADDED [B, OHp, OWp] layout; the
+    #    (oh, ow) crop stays a lazy slice that fuses into planar
+    #    consumers (the yuv420 composite: 18.6 -> 15.9 ms/chunk).
+    #  - 'flat' (default): slice+flat-reshape the planes first, combine
+    #    at [B, oh*ow]; the right choice for interleaved [..., 3] uint8
+    #    outputs (the bgr composite: the 2-D combine regresses it ~8x).
+    if combine_layout == "canvas2d":
+        keep2 = jnp.where(live2 & ~bad, jnp.ones((), compute_dtype),
+                          jnp.zeros((), compute_dtype))
+
+        def w2(w):
+            w = w.reshape(B, oh, ow)
+            if (OHp, OWp) != (oh, ow):
+                w = jnp.pad(w, ((0, 0), (0, OHp - oh), (0, OWp - ow)))
+            return w * keep2
+
+        out = _combine_patch_u8(planes[:, 0], planes[:, 2], planes[:, 1],
+                                planes[:, 3], w2(wa), w2(wb), w2(wc),
+                                w2(wd), compute_dtype)
+        return out[:, :oh, :ow], jnp.any(bad[:, :oh, :ow])
+    assert combine_layout == "flat", combine_layout
+    pl_ = planes[:, :, :oh, :ow].reshape(B, 4, oh * ow)
+    badf = bad[:, :oh, :ow].reshape(B, oh * ow)
     livef = live2[:, :oh, :ow].reshape(B, oh * ow)
     keep = jnp.where(livef & ~badf, jnp.ones((), compute_dtype),
                      jnp.zeros((), compute_dtype))
-    out = _combine_patch_u8(planes[:, 0], planes[:, 2], planes[:, 1],
-                            planes[:, 3], wa * keep, wb * keep, wc * keep,
-                            wd * keep, compute_dtype)
-    return out, jnp.any(badf)
+    out = _combine_patch_u8(pl_[:, 0], pl_[:, 2], pl_[:, 1], pl_[:, 3],
+                            wa * keep, wb * keep, wc * keep, wd * keep,
+                            compute_dtype)
+    return out.reshape(B, oh, ow, 3), jnp.any(badf)

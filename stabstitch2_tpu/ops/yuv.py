@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -37,6 +38,20 @@ def bgr_to_yuv420(frames: jnp.ndarray
         return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
 
     return q(y), q(u), q(v)
+
+
+@jax.jit
+def bgr_u8_to_yuv420_jit(frames_u8: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jitted uint8-BGR -> (Y, U, V) uint8 conversion, its OWN program.
+
+    The window-gather composite emits uint8 BGR and chains this as a
+    second dispatch: XLA fuses the in-program f32->yuv tail poorly
+    downstream of a pallas_call (16.0 ms/chunk) while the two-program
+    chain measures 13.0 ms — and quantize-then-convert is exactly what
+    the bgr download path + the mp4 writer compute (BENCHMARKS round 4).
+    """
+    return bgr_to_yuv420(frames_u8.astype(jnp.float32))
 
 
 def pack_i420(y, u, v) -> jnp.ndarray:

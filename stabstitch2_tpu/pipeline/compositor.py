@@ -147,7 +147,9 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                 bilinear_sample_patch_u8_pallas)
 
             sampled, viol = bilinear_sample_patch_u8_pallas(
-                stack, x_s, y_s, out_size)
+                stack, x_s, y_s, out_size,
+                combine_layout=("canvas2d" if out_format == "yuv420"
+                                else "flat"))
         elif input_u8:
             # ONE packed-patch gather instead of 4 corner gathers — the
             # gather is the compositor's dominant device cost (measured
@@ -258,16 +260,29 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
             i2 = jnp.pad(i2, ((0, pad), (0, 0), (0, 0), (0, 0)))
             mm1 = jnp.concatenate([mm1, jnp.tile(mm1[-1:], (pad, 1, 1, 1))], 0)
             mm2 = jnp.concatenate([mm2, jnp.tile(mm2[-1:], (pad, 1, 1, 1))], 0)
+        # Chained yuv420 (window-gather path): the composite program emits
+        # uint8 BGR and a SECOND jitted program converts to 4:2:0 — XLA
+        # fuses the f32 yuv tail poorly downstream of a pallas_call
+        # (16.0 vs 13.0 ms/chunk, BENCHMARKS round 4), and quantize-then-
+        # convert is exactly what the bgr download + mp4 writer compute.
+        # The repair leg keeps the same chain so repaired chunks match.
+        chain_yuv = pallas_gather and out_format == "yuv420"
+
         def run(i1=i1, i2=i2, mm1=mm1, mm2=mm2, n=e - s, pg=pallas_gather):
+            chunk_fmt = "bgr" if chain_yuv else out_format
             fused, viol = _composite_chunk(i1, i2, mm1, mm2, offset,
                                            (canvas.pad_h, canvas.pad_w),
                                            config.warp_mode,
                                            config.fusion_mode,
                                            grid_span=grid_span,
-                                           out_format=out_format,
+                                           out_format=chunk_fmt,
                                            coord_stride=getattr(
                                                config, "coord_stride", 1),
                                            pallas_gather=pg)
+            if chain_yuv:
+                from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
+
+                fused = bgr_u8_to_yuv420_jit(fused)
             if out_format == "yuv420":
                 yp, up, vp = fused
                 cropped = (yp[:n, :ohq, :owq],

@@ -234,13 +234,24 @@ class OnlineStitcher:
         c = self.canvas
         if pallas_gather is None:
             pallas_gather = self._pallas_gather
+        # chained yuv420 on the window-gather path: the composite emits
+        # uint8 BGR and a second jitted program converts — same shape and
+        # rationale as compositor.composite_begin (13.0 vs 16.0 ms, and
+        # quantize-then-convert matches the bgr emit + encoder chain)
+        chain_yuv = self._pallas_gather and self.emit_format == "i420"
+        fmt = ("yuv420" if self.emit_format == "i420" and not chain_yuv
+               else "bgr")
         fused, viol = _composite_chunk(
             jnp.asarray(hi1), jnp.asarray(hi2), m1, m2,
             self._offset, (c.pad_h, c.pad_w),
             self.cfg.warp_mode, self.cfg.fusion_mode,
             grid_span=(c.out_h, c.out_w),
-            out_format="yuv420" if self.emit_format == "i420" else "bgr",
+            out_format=fmt,
             pallas_gather=pallas_gather)
+        if chain_yuv:
+            from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
+
+            fused = bgr_u8_to_yuv420_jit(fused)
         oh, ow = self._emit_hw()
         if self.emit_format == "i420":
             yp, up, vp = fused

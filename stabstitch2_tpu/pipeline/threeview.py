@@ -241,13 +241,22 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
         # normalize by the TRUE canvas extents (grid_span), not the padded
         # bucket — TPS is only similarity-invariant, so the padded extent
         # must not leak in (same invariant as the 2-view compositor)
+        # chained yuv420 on the window-gather path: same two-program shape
+        # and rationale as compositor.composite_begin
+        chain_yuv = pallas_gather and out_format == "yuv420"
+
         def run(iv=iv, mv=mv, n=e - s, pg=pallas_gather):
+            chunk_fmt = "bgr" if chain_yuv else out_format
             fused, viol = _composite_chain_chunk(
                 iv, mv, offset, (canvas.pad_h, canvas.pad_w),
                 config.warp_mode, config.fusion_mode, grid_span=grid_span,
-                out_format=out_format,
+                out_format=chunk_fmt,
                 coord_stride=getattr(config, "coord_stride", 1),
                 pallas_gather=pg)
+            if chain_yuv:
+                from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
+
+                fused = bgr_u8_to_yuv420_jit(fused)
             if out_format == "yuv420":
                 yp, up, vp = fused
                 cropped = (yp[:n, :ohq, :owq],

@@ -403,7 +403,9 @@ class TestPallasPatchGather:
         got, viol = bilinear_sample_patch_u8_pallas(im, x, y,
                                                     (self.OH, self.OW),
                                                     interpret=True)
-        return np.asarray(ref), np.asarray(got), bool(viol)
+        # the kernel returns the 2-D canvas layout; flatten to compare
+        return (np.asarray(ref), np.asarray(got).reshape(self.B, -1, 3),
+                bool(viol))
 
     def test_matches_xla_path_in_range(self):
         ref, got, viol = self._run_both(*self._coords())
@@ -440,7 +442,7 @@ class TestPallasPatchGather:
         got, viol = bilinear_sample_patch_u8_pallas(
             im, x, y, (self.OH, self.OW), interpret=True)
         assert bool(viol)
-        got = np.asarray(got)
+        got = np.asarray(got).reshape(self.B, -1, 3)
         ref = np.asarray(bilinear_sample_patch_u8(im, x, y))
         ok = np.isclose(got, ref, atol=1e-2).all(axis=-1)
         zeroed = (got == 0.0).all(axis=-1)
@@ -458,4 +460,5 @@ class TestPallasPatchGather:
         y = y.at[:, :7].set(jnp.nan)
         got, _ = bilinear_sample_patch_u8_pallas(
             self._im(), x, y, (self.OH, self.OW), interpret=True)
-        np.testing.assert_array_equal(np.asarray(got)[:, :7], 0.0)
+        got = np.asarray(got).reshape(self.B, -1, 3)
+        np.testing.assert_array_equal(got[:, :7], 0.0)

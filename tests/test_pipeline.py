@@ -167,11 +167,16 @@ class TestCompositor:
                                              chunk=2, model_size=(H, W),
                                              pallas_gather=True))
             assert cref.out_h == cgot.out_h and cref.out_w == cgot.out_w
-            # the gather planes are exact; only FMA contraction differs
+            # the gather planes are exact; only FMA contraction differs —
+            # plus, on the yuv420 leg, the window-gather path quantizes to
+            # uint8 BGR BEFORE converting (the chained two-program shape;
+            # same semantics as the bgr download + mp4 writer), so bytes
+            # may differ by 1 from the XLA leg's f32-source conversion
             np.testing.assert_allclose(got.astype(np.float32),
                                        ref.astype(np.float32), atol=1.0)
-            frac_diff = (got != ref).mean()
-            assert frac_diff < 0.01, frac_diff
+            if fmt == "bgr":
+                frac_diff = (got != ref).mean()
+                assert frac_diff < 0.01, frac_diff
 
 
     def test_pallas_gather_overflow_repairs_exactly(self):
