@@ -210,7 +210,10 @@ def cmd_stitch_multi(args):
     if not videos:
         print(f"no videoN subdirectories under {root}", file=sys.stderr)
         return 1
-    multi = len(videos) > 1
+    # dataset mode (root is a directory OF clips) writes <output>/<name>.mp4
+    # even for a single clip — keyed on the MODE, not the clip count (a
+    # one-clip dataset used to treat --output as a file path, round 5)
+    multi = videos != [root]
     if multi:
         os.makedirs(args.output, exist_ok=True)
 

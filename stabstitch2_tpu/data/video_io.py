@@ -134,6 +134,14 @@ def write_video(path: str, frames: np.ndarray, fps: int = 30,
         T, H, W, _ = frames.shape
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writer = cv2.VideoWriter(path, fourcc, fps, (W, H))
+    # cv2 fails SILENTLY on an unopenable target (e.g. a path without a
+    # container extension): writes become no-ops and the caller would
+    # report success over a file that never existed (found by driving
+    # `cli stitch-multi --output <dir-without-.mp4>`, round 5)
+    if not writer.isOpened():
+        raise IOError(
+            f"cv2.VideoWriter could not open {path!r} (mp4v {W}x{H}; "
+            "does the path end in .mp4 and the directory exist?)")
     try:
         for t in range(T):
             if frame_format == "i420":

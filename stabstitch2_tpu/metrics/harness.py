@@ -65,6 +65,10 @@ def _fused_eval(stitcher):
     mh, mw = stitcher.model_h, stitcher.model_w
     chunk = stitcher.chunk
     use_pallas = bool(pallas_available())
+    # under dp the Pallas coords kernel is shard_mapped over the chunk's
+    # batch axis (a bare pallas_call cannot auto-partition under GSPMD;
+    # tps_sample_coords falls back to jnp when chunk % dp != 0)
+    shard_mesh = stitcher.mesh
     motion_fused = stitcher._motion_fused
     smooth_phase = stitcher._smooth_phase
 
@@ -104,7 +108,8 @@ def _fused_eval(stitcher):
                 src = mesh_points(normalize_mesh(mesh, mh, mw))
                 return tps_warp_with_mask(img, src, tgt, (mh, mw),
                                           mode="NORMAL",
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas,
+                                          shard_mesh=shard_mesh)
 
             w1, k1 = warp(a, m1)
             w2, k2 = warp(b, m2)

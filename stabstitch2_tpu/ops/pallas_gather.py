@@ -211,8 +211,17 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
                                     y: jnp.ndarray,
                                     out_hw: Tuple[int, int],
                                     interpret: bool | None = None,
-                                    combine_layout: str = "flat"):
+                                    combine_layout: str = "flat",
+                                    shard_mesh=None):
     """Kernel-backed :func:`ops.interp.bilinear_sample_patch_u8`.
+
+    ``shard_mesh``: an active GSPMD mesh with a ``data`` axis. A bare
+    pallas_call cannot auto-partition, so under a mesh the whole sampler
+    (window-origin algebra + kernel + combine) is shard_mapped over the
+    batch axis; the ``violated`` flag is pmax-reduced across shards so
+    every device returns the global flag. The batch must divide the data
+    axis — callers gate on that and fall back to the XLA gather
+    (ops/tps.py:tps_warp_with_mask, pipeline/compositor._composite_chunk).
 
     im: [B, H, W, 3] uint8; x, y: [B, N] normalized coords laid out as an
     (out_h, out_w) raster (N == out_h*out_w — the kernel tiles the output
@@ -225,6 +234,29 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
     docstring); such pixels contribute exact ZERO instead of garbage.
     Everywhere else the result is bit-identical to the XLA path.
     """
+    dp = shard_mesh.shape.get("data", 1) if shard_mesh is not None else 1
+    if dp > 1:
+        assert im.shape[0] % dp == 0, (im.shape, dict(shard_mesh.shape))
+        from jax.sharding import PartitionSpec as P
+
+        n_out = 3 if combine_layout == "planes" else 1
+
+        def fn(ims, xs, ys):
+            *outs, viol = bilinear_sample_patch_u8_pallas(
+                ims, xs, ys, out_hw, interpret=interpret,
+                combine_layout=combine_layout)
+            # replicate the overflow flag: every shard reports global OR
+            viol = jax.lax.pmax(viol.astype(jnp.int32),
+                                "data").astype(jnp.bool_)
+            return tuple(outs) + (viol,)
+
+        # check_vma=False: pallas_call out_shapes don't carry varying-
+        # across-mesh annotations, and the kernel is per-shard pure
+        fn = jax.shard_map(fn, mesh=shard_mesh, in_specs=(P("data"),) * 3,
+                           out_specs=(P("data"),) * n_out + (P(),),
+                           check_vma=False)
+        return fn(im, x, y)
+
     from stabstitch2_tpu.ops.interp import (
         _combine_patch_u8,
         _patch_weights_idx,
@@ -279,7 +311,7 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
     #  - 'flat' (default): slice+flat-reshape the planes first, combine
     #    at [B, oh*ow]; the right choice for interleaved [..., 3] uint8
     #    outputs (the bgr composite: the 2-D combine regresses it ~8x).
-    if combine_layout == "canvas2d":
+    if combine_layout in ("canvas2d", "planes"):
         keep2 = jnp.where(live2 & ~bad, jnp.ones((), compute_dtype),
                           jnp.zeros((), compute_dtype))
 
@@ -289,10 +321,21 @@ def bilinear_sample_patch_u8_pallas(im: jnp.ndarray, x: jnp.ndarray,
                 w = jnp.pad(w, ((0, 0), (0, OHp - oh), (0, OWp - ow)))
             return w * keep2
 
+        viol2 = jnp.any(bad[:, :oh, :ow])
+        if combine_layout == "planes":
+            # per-channel planar combine: the yuv420 composite never
+            # interleaves (see _combine_patch_u8_planes)
+            from stabstitch2_tpu.ops.interp import _combine_patch_u8_planes
+
+            pb, pg, pr = _combine_patch_u8_planes(
+                planes[:, 0], planes[:, 2], planes[:, 1], planes[:, 3],
+                w2(wa), w2(wb), w2(wc), w2(wd), compute_dtype)
+            return (pb[:, :oh, :ow], pg[:, :oh, :ow], pr[:, :oh, :ow],
+                    viol2)
         out = _combine_patch_u8(planes[:, 0], planes[:, 2], planes[:, 1],
                                 planes[:, 3], w2(wa), w2(wb), w2(wc),
                                 w2(wd), compute_dtype)
-        return out[:, :oh, :ow], jnp.any(bad[:, :oh, :ow])
+        return out[:, :oh, :ow], viol2
     assert combine_layout == "flat", combine_layout
     pl_ = planes[:, :, :oh, :ow].reshape(B, 4, oh * ow)
     badf = bad[:, :oh, :ow].reshape(B, oh * ow)

@@ -104,6 +104,50 @@ def tps_coords_fused(T: jnp.ndarray, source: jnp.ndarray,
     return xs, ys
 
 
+def tps_coords_fused_auto(T: jnp.ndarray, source: jnp.ndarray,
+                          out_size: Tuple[int, int], grid_span=None,
+                          shard_mesh=None,
+                          interpret: bool | None = None):
+    """Mesh-aware dispatch for :func:`tps_coords_fused`.
+
+    A bare ``pallas_call`` cannot auto-partition under GSPMD, so when a
+    ``jax.sharding.Mesh`` with a ``data`` axis is active the kernel is
+    wrapped in ``jax.shard_map`` over the batch axis (the same pattern as
+    ``ops.cost_volume.cost_volume_auto``) — every device runs the kernel
+    on its local batch shard and the grid/span scalars are replicated.
+    Returns None when the batch does not divide the data axis: the caller
+    falls back to the (auto-partitionable) jnp path.
+
+    ``interpret=None`` auto-selects the Mosaic interpreter on CPU (same
+    contract as ops/pallas_gather.bilinear_sample_patch_u8_pallas) so
+    mesh tests can FORCE the kernel on under the virtual-device mesh.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dp = shard_mesh.shape.get("data", 1) if shard_mesh is not None else 1
+    if dp <= 1:
+        return tps_coords_fused(T, source, out_size, interpret=interpret,
+                                grid_span=grid_span)
+    if T.shape[0] % dp != 0:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    span = grid_span if grid_span is not None else out_size
+    sh = jnp.asarray(span[0], T.dtype)
+    sw = jnp.asarray(span[1], T.dtype)
+
+    def fn(Ts, srcs, a, b):
+        return tps_coords_fused(Ts, srcs, out_size, interpret=interpret,
+                                grid_span=(a, b))
+
+    # check_vma=False: pallas_call out_shapes don't carry varying-
+    # across-mesh annotations, and the kernel is per-shard pure
+    fn = jax.shard_map(fn, mesh=shard_mesh,
+                       in_specs=(P("data"), P("data"), P(), P()),
+                       out_specs=(P("data"), P("data")), check_vma=False)
+    return fn(T, source, sh, sw)
+
+
 def pallas_available() -> bool:
     """True when the default backend can run the Mosaic kernel natively."""
     return jax.default_backend() not in ("cpu",)

@@ -151,7 +151,8 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
                       out_size: Tuple[int, int],
                       use_pallas: Optional[bool] = None,
                       grid_span: Optional[Tuple[int, int]] = None,
-                      coord_stride: int = 1
+                      coord_stride: int = 1,
+                      shard_mesh=None,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the spline over a normalized output grid.
 
@@ -161,6 +162,12 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
     Pallas kernel (ops/pallas_warp.py) skips the [P+3, H*W] HBM
     intermediate; the jnp path below is the reference semantics, the
     CPU/test path, and the differentiable path.
+
+    ``shard_mesh``: an active GSPMD mesh with a ``data`` axis. A bare
+    pallas_call cannot auto-partition, so under a mesh the fused kernel is
+    shard_mapped over the batch axis (ops/pallas_warp.py:
+    tps_coords_fused_auto); a batch that does not divide the axis falls
+    back to the jnp path.
 
     ``coord_stride`` > 1 evaluates the spline every s-th pixel and
     bilinearly interpolates the coordinate field to full resolution. The
@@ -200,9 +207,14 @@ def tps_sample_coords(T: jnp.ndarray, source: jnp.ndarray,
         flat = field.reshape(B, 2, out_h * out_w)
         return flat[:, 0], flat[:, 1]
     if use_pallas:
-        from stabstitch2_tpu.ops.pallas_warp import tps_coords_fused
+        from stabstitch2_tpu.ops.pallas_warp import tps_coords_fused_auto
 
-        return tps_coords_fused(T, source, out_size, grid_span=grid_span)
+        out = tps_coords_fused_auto(T, source, out_size,
+                                    grid_span=grid_span,
+                                    shard_mesh=shard_mesh)
+        if out is not None:
+            return out
+        # batch does not divide the mesh's data axis: jnp path below
     x1 = _grid_1d(out_w, span_w, T.dtype)
     y1 = _grid_1d(out_h, span_h, T.dtype)
     gx1 = jnp.tile(x1[None, :], (out_h, 1)).reshape(-1)
@@ -219,7 +231,7 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
              T: Optional[jnp.ndarray] = None,
              use_pallas: Optional[bool] = None,
              grid_span: Optional[Tuple[int, int]] = None,
-             coord_stride: int = 1) -> jnp.ndarray:
+             coord_stride: int = 1, shard_mesh=None) -> jnp.ndarray:
     """TPS image warp. im: [B,H,W,C] NHWC; source/target: [B,P,2] normalized.
 
     ``source`` is the deformed mesh, ``target`` the rigid lattice — each
@@ -237,7 +249,8 @@ def tps_warp(im: jnp.ndarray, source: jnp.ndarray, target: jnp.ndarray,
         T = tps_params(source, target)
     x_s, y_s = tps_sample_coords(T, source, out_size, use_pallas=use_pallas,
                                  grid_span=grid_span,
-                                 coord_stride=coord_stride)
+                                 coord_stride=coord_stride,
+                                 shard_mesh=shard_mesh)
     if mode == "NORMAL":
         sampled = bilinear_sample(im, x_s, y_s)
     elif mode == "FAST":
@@ -255,7 +268,8 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        grid_span: Optional[Tuple[int, int]] = None,
                        coord_stride: int = 1,
                        use_pallas_gather: bool = False,
-                       return_viol: bool = False
+                       return_viol: bool = False,
+                       shard_mesh=None,
                        ) -> Tuple[jnp.ndarray, ...]:
     """Like :func:`tps_warp` but also returns the coverage mask [B, oh, ow].
 
@@ -266,9 +280,12 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     uint8 NORMAL-mode inputs take the single packed-patch gather
     (interp.bilinear_sample_patch_u8); with ``use_pallas_gather`` that
     gather runs as the Mosaic window kernel (ops/pallas_gather.py, ~2.8x
-    on chip — TPU-only, not under GSPMD meshes). ``return_viol`` appends
-    the kernel's window-overflow flag (a bool scalar; affected pixels are
-    emitted as exact zeros) so callers can repair through the XLA path."""
+    on chip). ``return_viol`` appends the kernel's window-overflow flag
+    (a bool scalar; affected pixels are emitted as exact zeros) so
+    callers can repair through the XLA path. ``shard_mesh``: under a
+    GSPMD mesh both Pallas kernels are shard_mapped over the batch axis
+    (a bare pallas_call cannot auto-partition); a batch that does not
+    divide the data axis falls back to the XLA formulations."""
     from stabstitch2_tpu.ops.interp import (
         bilinear_mask,
         grid_sample_mask_align_corners,
@@ -281,8 +298,14 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
         T = tps_params(source, target)
     x_s, y_s = tps_sample_coords(T, source, out_size, grid_span=grid_span,
                                  use_pallas=use_pallas,
-                                 coord_stride=coord_stride)
+                                 coord_stride=coord_stride,
+                                 shard_mesh=shard_mesh)
     viol = jnp.zeros((), jnp.bool_)
+    if use_pallas_gather and shard_mesh is not None:
+        # shard_map needs an exact batch split; otherwise the XLA gather
+        dp = shard_mesh.shape.get("data", 1)
+        if B % dp != 0:
+            use_pallas_gather = False
     if mode == "NORMAL":
         if im.dtype == jnp.uint8 and im.shape[-1] == 3:
             if use_pallas_gather:
@@ -290,7 +313,7 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                     bilinear_sample_patch_u8_pallas)
 
                 sampled, viol = bilinear_sample_patch_u8_pallas(
-                    im, x_s, y_s, out_size)
+                    im, x_s, y_s, out_size, shard_mesh=shard_mesh)
             else:
                 from stabstitch2_tpu.ops.interp import (
                     bilinear_sample_patch_u8)

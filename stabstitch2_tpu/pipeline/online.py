@@ -247,7 +247,11 @@ class OnlineStitcher:
             self.cfg.warp_mode, self.cfg.fusion_mode,
             grid_span=(c.out_h, c.out_w),
             out_format=fmt,
-            pallas_gather=pallas_gather)
+            pallas_gather=pallas_gather,
+            # under dp the coords kernel must be shard_mapped, never a
+            # bare pallas_call on sharded inputs (B=1/WINDOW rarely
+            # divides the axis, so this usually selects the jnp path)
+            shard_mesh=self.s.mesh)
         if chain_yuv:
             from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
 
@@ -313,6 +317,9 @@ class OnlineStitcher:
             if pg is None and any(bool(v) for _, _, v in fetched):
                 # rare window-gather overflow (exact zeros, flagged):
                 # repair by re-dispatching through the XLA gather
+                from stabstitch2_tpu.pipeline import compositor as _comp
+
+                _comp.REPAIR_COUNT += 1
                 import warnings
 
                 warnings.warn(

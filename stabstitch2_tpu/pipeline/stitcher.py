@@ -450,11 +450,11 @@ class VideoStitcher:
                                 smooth["smooth_mesh2"],
                                 config=self.config, chunk=self.chunk,
                                 model_size=(mh, mw), n_frames=T,
-                                # a bare pallas_call cannot auto-partition
-                                # under GSPMD; dp inference keeps the XLA
-                                # packed-patch gather
-                                pallas_gather=(False if self.mesh is not None
-                                               else None))
+                                # under dp inference the Pallas kernels are
+                                # shard_mapped over the batch axis inside
+                                # the chunk program (round 5) — the mesh is
+                                # threaded instead of forfeiting them
+                                shard_mesh=self.mesh)
         return _PendingStitch(state=state, smooth=smooth, timer=timer, T=T)
 
     def stitch_finish(self, pending: "_PendingStitch") -> StitchResult:

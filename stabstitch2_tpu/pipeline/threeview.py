@@ -37,14 +37,19 @@ from stabstitch2_tpu.ops.tps import (
 from stabstitch2_tpu.pipeline.compositor import compute_canvas, scale_meshes
 
 
-def pair_smooth_meshes(stitcher, lo_a, lo_b) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def pair_smooth_meshes(stitcher, lo_a, lo_b, n_frames=None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Phases 1-4 of the two-view pipeline -> (mesh_a, mesh_b) model-res.
 
     Routes through the stitch path's fused transport+smooth program with
     16-frame length bucketing (VideoStitcher.motion_smooth) — one compiled
     program set shared with two-view stitching, no per-length recompiles.
+    ``n_frames``: the TRUE frame count when lo_* carry dp padding — the
+    returned meshes are cropped to it (padded frames have their own
+    smoothed trajectories, which must not leak into the junction-extent
+    algebra in chain_meshes).
     """
-    smooth = stitcher.motion_smooth(lo_a, lo_b)
+    smooth = stitcher.motion_smooth(lo_a, lo_b, n_frames=n_frames)
     return smooth["smooth_mesh1"], smooth["smooth_mesh2"]
 
 
@@ -105,11 +110,12 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
                                              "fusion_mode", "out_format",
                                              "coord_stride",
-                                             "pallas_gather"))
+                                             "pallas_gather", "shard_mesh"))
 def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
                            fusion_mode, grid_span, out_format: str = "bgr",
                            coord_stride: int = 1,
-                           pallas_gather: bool = False):
+                           pallas_gather: bool = False,
+                           shard_mesh=None):
     """Warp+fuse one chunk of an N-view chain as ONE device program.
 
     imgs: [V, B, H, W, 3] uint8; meshes: [V, B, GH+1, GW+1, 2] hi-res.
@@ -117,7 +123,11 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
     design, generalized); the cascade fusion loops over the STATIC view
     axis. Returns [B, oh, ow, 3] uint8 for out_format='bgr', or uint8
     I420 planes (Y, U, V) for 'yuv420' — 1.5 bytes/px on the dominant
-    device->host leg, same as the 2-view compositor."""
+    device->host leg, same as the 2-view compositor. ``shard_mesh``
+    (static): the active GSPMD mesh under dp inference — the Pallas
+    coords + window-gather kernels are shard_mapped over the V*B batch
+    axis instead of feeding a bare pallas_call sharded inputs; a batch
+    that does not divide the data axis falls back to XLA."""
     V, B, H, W, _ = imgs.shape
     oh, ow = out_size
     span_h, span_w = grid_span or out_size
@@ -142,7 +152,8 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
         grid_span=(span_h, span_w),
         use_pallas=(pallas_available() if coord_stride == 1 else None),
         coord_stride=coord_stride,
-        use_pallas_gather=pallas_gather, return_viol=True)
+        use_pallas_gather=pallas_gather, return_viol=True,
+        shard_mesh=shard_mesh)
     warped = warped.reshape(V, B, oh, ow, 3)
     masks = masks.reshape(V, B, oh, ow)
     # cascaded fusion left -> right (reference :486-503)
@@ -166,7 +177,9 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
 
 def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
                           chunk: int = 8,
-                          pallas_gather: Optional[bool] = None):
+                          pallas_gather: Optional[bool] = None,
+                          shard_mesh=None,
+                          n_frames: Optional[int] = None):
     """Enqueue the whole N-view composite; d2h copies requested async.
 
     images: list of V [T, H, W, 3] uint8 arrays — device arrays (the fast
@@ -175,9 +188,17 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
     opaque state for :func:`composite_chain_finish` — chunk k's download
     drains while chunk k+1 computes, and callers stitching a dataset can
     begin the next video before finishing this one (the 2-view
-    begin/finish design, cli.cmd_stitch).
+    begin/finish design, cli.cmd_stitch). ``shard_mesh``: the stitcher's
+    dp mesh, threaded into the chunk program so the Pallas kernels are
+    shard_mapped over the batch axis instead of a bare pallas_call
+    receiving GSPMD-sharded inputs (round-4 advisor finding).
+    ``n_frames``: the TRUE frame count when ``images`` carry dp padding
+    (stitcher._put_frames repeats the last frame up to the data axis);
+    the finish crops back to it.
     """
     T, H, W = images[0].shape[0], images[0].shape[1], images[0].shape[2]
+    if n_frames is None:
+        n_frames = T
     if pallas_gather is None:
         pallas_gather = getattr(config, "pallas_gather", None)
     if pallas_gather is None:
@@ -252,7 +273,7 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
                 config.warp_mode, config.fusion_mode, grid_span=grid_span,
                 out_format=chunk_fmt,
                 coord_stride=getattr(config, "coord_stride", 1),
-                pallas_gather=pg)
+                pallas_gather=pg, shard_mesh=shard_mesh)
             if chain_yuv:
                 from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
 
@@ -276,22 +297,26 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
         # the window-gather kernel (whose rare overflows it repairs) is on
         repair = (lambda r=run: r(pg=False)[0]) if pallas_gather else None
         pending.append((cropped, viol, repair))
-    return pending, canvas, out_format
+    return pending, canvas, out_format, n_frames
 
 
 def composite_chain_finish(state) -> Tuple[np.ndarray, str]:
     """Collect frames from :func:`composite_chain_begin`.
 
     Returns (frames, frame_format): uint8 BGR [T,oh,ow,3] for 'bgr', or
-    packed I420 [T, oh*3//2, ow] for 'i420'."""
-    pending, canvas, out_format = state
+    packed I420 [T, oh*3//2, ow] for 'i420' — cropped to the TRUE frame
+    count when the begin ran on dp-padded uploads."""
+    pending, canvas, out_format, n_frames = state
     oh, ow = canvas.out_h, canvas.out_w
     outs_and_viol = jax.device_get([(c, v) for c, v, _ in pending])
     outs = [o for o, _ in outs_and_viol]
     bad = [i for i, (_, v) in enumerate(outs_and_viol) if bool(v)]
     if bad:
-        # exact repair through the XLA gather, same contract as
-        # compositor.composite_finish
+        # exact repair through the XLA gather, same contract (and shared
+        # telemetry counter) as compositor.composite_finish
+        from stabstitch2_tpu.pipeline import compositor as _comp
+
+        _comp.REPAIR_COUNT += len(bad)
         for i in bad:
             outs[i] = jax.device_get(pending[i][2]())
         import warnings
@@ -307,8 +332,9 @@ def composite_chain_finish(state) -> Tuple[np.ndarray, str]:
         return (np.concatenate(
             [pack_i420_host(y[:, :oh, :ow], u[:, :oh // 2, :ow // 2],
                             v[:, :oh // 2, :ow // 2]) for y, u, v in outs],
-            axis=0), "i420")
-    return np.concatenate([o[0][:, :oh, :ow] for o in outs], axis=0), "bgr"
+            axis=0)[:n_frames], "i420")
+    return (np.concatenate([o[0][:, :oh, :ow] for o in outs],
+                           axis=0)[:n_frames], "bgr")
 
 
 def composite_chain(images: List[np.ndarray], meshes: List[jnp.ndarray],
@@ -338,14 +364,43 @@ def stitch_multi_begin(stitcher, his: List[np.ndarray]):
             d = stitcher._unpack_i420(d)
         dev.append(d)
         los.append(stitcher._preprocess(d, mh, mw))
-    pair_meshes = [pair_smooth_meshes(stitcher, los[j], los[j + 1])
+    # n_frames=T crops the smooth meshes to the TRUE count: under dp the
+    # uploads are padded (repeat-last) and the padded frames have their
+    # own smoothed trajectories, which must not leak into chain_meshes'
+    # junction-extent normalization (measured: up to 228-uint8 composite
+    # deltas at T=11 on the 8-device mesh without the crop).
+    pair_meshes = [pair_smooth_meshes(stitcher, los[j], los[j + 1],
+                                      n_frames=T)
                    for j in range(len(dev) - 1)]
     H, W = int(dev[0].shape[1]), int(dev[0].shape[2])
     # chain_meshes pulls mesh extents to host (canvas sizing needs static
-    # shapes) — the one sync point, on tiny arrays
+    # shapes) — the one sync point, on tiny arrays. Under a dp mesh the
+    # pair meshes are GSPMD-sharded; pull them to host FIRST (~5 KB each)
+    # so the chain's eager junction algebra never runs eager ops on
+    # sharded arrays — XLA:CPU aborts nondeterministically on that
+    # pattern (round-5; same hazard class as the round-3 eager-pad fix),
+    # and the chain syncs per junction anyway.
+    if stitcher.mesh is not None:
+        pair_meshes = [(np.asarray(a), np.asarray(b))
+                       for a, b in pair_meshes]
     meshes = chain_meshes(pair_meshes, H, W, mh, mw)
+    Tp = int(dev[0].shape[0])
+    if Tp != T:
+        # dp-padded uploads: pad the chained meshes back to the upload
+        # length with repeat-last (padded frames are cropped from the
+        # output; any mesh value there is fine and repeat-last keeps the
+        # canvas extents unchanged)
+        meshes = [jnp.concatenate(
+            [m, jnp.tile(m[-1:], (Tp - T,) + (1,) * (m.ndim - 1))], 0)
+            for m in meshes]
+    # thread the stitcher's dp mesh: under GSPMD the chunk program
+    # shard_maps the Pallas kernels over the batch axis (a bare
+    # pallas_call cannot auto-partition — round-4 advisor finding).
+    # n_frames=T: _put_frames may have dp-padded the uploads; the finish
+    # crops back to the true count (same contract as stitch_begin)
     return composite_chain_begin(dev, meshes, stitcher.config,
-                                 chunk=stitcher.chunk)
+                                 chunk=stitcher.chunk,
+                                 shard_mesh=stitcher.mesh, n_frames=T)
 
 
 def stitch_multi_finish(state) -> Tuple[np.ndarray, str]:
