@@ -123,6 +123,25 @@ def _combine_patch_u8(ga, gb, gc, gd, wa, wb, wc, wd, compute_dtype):
             + wd[..., None] * unpack(gd))
 
 
+def _combine_patch_u8_planes(ga, gb, gc, gd, wa, wb, wc, wd, compute_dtype):
+    """PLANAR variant of :func:`_combine_patch_u8`: per-channel arrays.
+
+    Returns (B, G, R) planes in the weights' broadcast shape with NO
+    channel stack/interleave — the yuv420 composite stays planar end to
+    end (interleaved uint8 channel extraction lowers ~10x worse than the
+    whole conversion on TPU; BENCHMARKS round 5). Same corner order and
+    accumulation order as _combine_patch_u8.
+    """
+    def ch(shift):
+        ua = ((ga >> shift) & 0xFF).astype(compute_dtype)
+        ub = ((gb >> shift) & 0xFF).astype(compute_dtype)
+        uc = ((gc >> shift) & 0xFF).astype(compute_dtype)
+        ud = ((gd >> shift) & 0xFF).astype(compute_dtype)
+        return wa * ua + wb * ub + wc * uc + wd * ud
+
+    return ch(0), ch(8), ch(16)
+
+
 def pack_bgr_u8(im: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, 3] uint8 -> [B, H, W] int32 with B|G<<8|R<<16 packing."""
     return (im[..., 0].astype(jnp.int32)

@@ -54,6 +54,46 @@ def bgr_u8_to_yuv420_jit(frames_u8: jnp.ndarray
     return bgr_to_yuv420(frames_u8.astype(jnp.float32))
 
 
+def bgr_planes_to_yuv420(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray,
+                         quantize_first: bool = True
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PLANAR float BGR channels [B, H, W] x3 -> (Y, U, V) uint8.
+
+    Same BT.601 arithmetic as :func:`bgr_to_yuv420`, but from separate
+    channel planes: on TPU the interleaved [..., 3]-uint8 channel
+    extraction lowers ~10x worse than the whole conversion (measured —
+    the round-4 "chained" program's +3.4 ms/chunk was mostly that), while
+    planar inputs convert at the HBM floor. ``quantize_first`` rounds the
+    planes to uint8 BGR before converting — bit-identical to the chained
+    bgr-u8 program + bgr_u8_to_yuv420_jit pair (and to the bgr download +
+    mp4 writer chain).
+    """
+    if quantize_first:
+        def q8(x):
+            return jnp.clip(jnp.round(x), 0.0, 255.0).astype(
+                jnp.uint8).astype(jnp.float32)
+
+        b, g, r = q8(b), q8(g), q8(r)
+    else:
+        b, g, r = (x.astype(jnp.float32) for x in (b, g, r))
+    y = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * b
+    bd, gd, rd = (c[:, ::2, ::2] for c in (b, g, r))
+    u = 128.0 - 0.148223 * rd - 0.290993 * gd + 0.439216 * bd
+    v = 128.0 + 0.439216 * rd - 0.367788 * gd - 0.071427 * bd
+
+    def q(x):
+        return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
+
+    return q(y), q(u), q(v)
+
+
+@jax.jit
+def bgr_planes_u8_to_yuv420_jit(b, g, r):
+    """Jitted planar-uint8-BGR -> (Y, U, V), its own program (the chained
+    two-program shape, planar flavor)."""
+    return bgr_planes_to_yuv420(b, g, r, quantize_first=False)
+
+
 def pack_i420(y, u, v) -> jnp.ndarray:
     """(Y [B,H,W], U, V [B,H/2,W/2]) -> packed I420 [B, H*3//2, W]."""
     B, H, W = y.shape
