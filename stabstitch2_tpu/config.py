@@ -96,6 +96,17 @@ class StitchConfig:
     # REPAIRS flagged chunks through the XLA path, so output is always
     # exact. True/False force the choice.
     pallas_gather: Optional[bool] = None
+    # ONE-program fused composite warp (ops/pallas_fused.py: TPS eval +
+    # window gather + weighted combine in a single Mosaic kernel,
+    # round 5). None (default) auto-selects it on TPU for NORMAL-mode
+    # uint8 composites at coord_stride 1 — chip A/B: 6.35 ms/chunk bgr
+    # vs 9.62 window-gather vs 26.2 XLA; yuv420 as ONE program 7.25 ms
+    # vs the round-4 chained pair's 12.90 (BENCHMARKS round 5). Same
+    # exact-or-zero + XLA-repair contract as pallas_gather; window
+    # shape scales with source resolution (fused_window_tiles), closing
+    # the 720p/1080p budget overflow of the fixed v2 window. Takes
+    # precedence over pallas_gather when both are enabled.
+    pallas_fused: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

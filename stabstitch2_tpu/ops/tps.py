@@ -268,6 +268,7 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
                        grid_span: Optional[Tuple[int, int]] = None,
                        coord_stride: int = 1,
                        use_pallas_gather: bool = False,
+                       use_pallas_fused: bool = False,
                        return_viol: bool = False,
                        shard_mesh=None,
                        ) -> Tuple[jnp.ndarray, ...]:
@@ -296,16 +297,28 @@ def tps_warp_with_mask(im: jnp.ndarray, source: jnp.ndarray,
     out_h, out_w = out_size
     if T is None:
         T = tps_params(source, target)
+    if shard_mesh is not None and B % shard_mesh.shape.get("data", 1) != 0:
+        # shard_map needs an exact batch split; otherwise the XLA path
+        use_pallas_gather = False
+        use_pallas_fused = False
+    if (use_pallas_fused and mode == "NORMAL" and im.dtype == jnp.uint8
+            and im.shape[-1] == 3 and coord_stride == 1):
+        # ONE-program warp: TPS eval + window gather + combine + coverage
+        # mask in a single Mosaic kernel (ops/pallas_fused.py) — no
+        # coordinate field ever materializes. Same exact-or-zero + repair
+        # contract as the window-gather kernel.
+        from stabstitch2_tpu.ops.pallas_fused import fused_warp_planes
+
+        pb, pg, pr, m2d, viol = fused_warp_planes(
+            im, T, source, out_size, grid_span=grid_span,
+            shard_mesh=shard_mesh)
+        out = (jnp.stack([pb, pg, pr], axis=-1), m2d)
+        return out + (viol,) if return_viol else out
     x_s, y_s = tps_sample_coords(T, source, out_size, grid_span=grid_span,
                                  use_pallas=use_pallas,
                                  coord_stride=coord_stride,
                                  shard_mesh=shard_mesh)
     viol = jnp.zeros((), jnp.bool_)
-    if use_pallas_gather and shard_mesh is not None:
-        # shard_map needs an exact batch split; otherwise the XLA gather
-        dp = shard_mesh.shape.get("data", 1)
-        if B % dp != 0:
-            use_pallas_gather = False
     if mode == "NORMAL":
         if im.dtype == jnp.uint8 and im.shape[-1] == 3:
             if use_pallas_gather:

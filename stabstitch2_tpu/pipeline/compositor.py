@@ -72,12 +72,14 @@ def compute_canvas(mesh1: jnp.ndarray, mesh2: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
                                              "fusion_mode", "out_format",
                                              "coord_stride",
-                                             "pallas_gather", "shard_mesh"))
+                                             "pallas_gather", "pallas_fused",
+                                             "shard_mesh"))
 def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                      warp_mode: str, fusion_mode: str,
                      grid_span=None, out_format: str = "bgr",
                      coord_stride: int = 1,
                      pallas_gather: bool = False,
+                     pallas_fused: bool = False,
                      shard_mesh=None):
     """Warp+fuse a chunk of frames.
 
@@ -133,6 +135,37 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
     # gathered channel costs real lookup time on TPU (gathers are
     # per-lookup-bound; BENCHMARKS.md round-3b).
     T = tps_params(source, target)
+    viol = jnp.zeros((), jnp.bool_)
+    if shard_mesh is not None and (2 * B) % shard_mesh.shape.get(
+            "data", 1) != 0:
+        # shard_map needs an exact batch split (stack batch is 2B)
+        pallas_gather = False
+        pallas_fused = False
+    if (pallas_fused and warp_mode == "NORMAL" and input_u8
+            and coord_stride == 1):
+        # ONE-program composite warp (round 5): TPS eval + window gather
+        # + weighted combine in a single Mosaic kernel
+        # (ops/pallas_fused.py). Same exact-or-zero + repair contract as
+        # the v2 window gather; <= 1 uint8 LSB vs the XLA path from FMA
+        # contraction (PARITY.md).
+        from stabstitch2_tpu.ops.pallas_fused import fused_warp_planes
+
+        pb, pg, pr, m2d, viol = fused_warp_planes(
+            stack, T, source, (oh, ow), grid_span=(span_h, span_w),
+            shard_mesh=shard_mesh)
+        warped = jnp.stack([pb, pg, pr], axis=-1)    # [2B, oh, ow, 3]
+        masks = m2d
+        w1, w2 = warped[:B], warped[B:]
+        if fusion_mode == "AVERAGE":
+            fused = average_fusion(w1, w2)
+        else:
+            fused = jax.vmap(linear_fusion)(w1, w2, masks[:B], masks[B:])
+        fused = jnp.clip(fused, 0.0, 255.0)
+        if out_format == "yuv420":
+            from stabstitch2_tpu.ops.yuv import bgr_to_yuv420
+
+            return bgr_to_yuv420(fused), viol
+        return fused.astype(jnp.uint8), viol
     # coord_stride > 1 takes the coarse-lattice path; the fused Pallas
     # kernel is the full-resolution alternative (only one applies)
     x_s, y_s = tps_sample_coords(T, source, (oh, ow),
@@ -141,11 +174,6 @@ def _composite_chunk(img1, img2, mesh1, mesh2, offset, out_size,
                                  grid_span=(span_h, span_w),
                                  coord_stride=coord_stride,
                                  shard_mesh=shard_mesh)
-    viol = jnp.zeros((), jnp.bool_)
-    if pallas_gather and shard_mesh is not None:
-        # shard_map needs an exact batch split (stack batch is 2B)
-        if (2 * B) % shard_mesh.shape.get("data", 1) != 0:
-            pallas_gather = False
     if warp_mode == "NORMAL":
         if input_u8 and pallas_gather and out_format in ("yuv420",
                                                          "planes_u8"):
@@ -235,6 +263,7 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                     model_size: Tuple[int, int] = (MODEL_H, MODEL_W),
                     n_frames: Optional[int] = None,
                     pallas_gather: Optional[bool] = None,
+                    pallas_fused: Optional[bool] = None,
                     shard_mesh=None,
                     ):
     """Enqueue a whole video's composite without fetching any result.
@@ -246,19 +275,30 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
     sustained throughput comes from (see VideoStitcher.stitch_begin).
     """
     config = config or StitchConfig()
+    if pallas_fused is None:
+        pallas_fused = getattr(config, "pallas_fused", None)
+    if pallas_fused is None:
+        # Auto (round 5): the ONE-program fused warp kernel
+        # (ops/pallas_fused.py) is the TPU default — chip A/B 6.35
+        # ms/chunk bgr vs 9.62 v2 window-gather vs 26.2 XLA, yuv420 as
+        # one program (no chained conversion). Exact-or-zero + flagged
+        # overflows, transparently repaired through the XLA path by
+        # composite_finish; per-resolution windows cover 720p/1080p
+        # spans. Under a GSPMD mesh it is shard_mapped over the batch
+        # axis inside _composite_chunk (non-divisible batches fall back
+        # to XLA there); CPU stays on the XLA gather (interpret mode is
+        # test-only).
+        pallas_fused = (config.warp_mode == "NORMAL"
+                        and getattr(config, "coord_stride", 1) == 1
+                        and jax.default_backend() == "tpu")
     if pallas_gather is None:
         pallas_gather = getattr(config, "pallas_gather", None)
     if pallas_gather is None:
-        # Auto (round 4): the v2 window-gather kernel is the TPU default —
-        # support-masked window origins cover every live span measured on
-        # real smooth meshes (max 118 rows vs the 126-row budget,
-        # examples/diag_gather_violation.py), and any residual overflow is
-        # exact-or-zero + flagged, which composite_finish transparently
-        # repairs through the XLA path. Under a GSPMD mesh (round 5) the
-        # kernel is shard_mapped over the batch axis inside
-        # _composite_chunk (non-divisible batches fall back to XLA there);
-        # CPU stays on the XLA gather (interpret mode is test-only).
-        pallas_gather = (config.warp_mode == "NORMAL"
+        # v2 window-gather kernel (round 4): superseded as default by the
+        # fused kernel; auto-enables only when the fused path is off
+        # (e.g. coord_stride > 1 keeps the coarse-lattice coords).
+        pallas_gather = (not pallas_fused
+                         and config.warp_mode == "NORMAL"
                          and jax.default_backend() == "tpu")
     out_format = getattr(config, "download_format", "bgr")
     _, H, W, _ = img1.shape
@@ -308,15 +348,19 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
             i2 = jnp.pad(i2, ((0, pad), (0, 0), (0, 0), (0, 0)))
             mm1 = jnp.concatenate([mm1, jnp.tile(mm1[-1:], (pad, 1, 1, 1))], 0)
             mm2 = jnp.concatenate([mm2, jnp.tile(mm2[-1:], (pad, 1, 1, 1))], 0)
-        # Chained yuv420 (window-gather path): the composite program emits
-        # uint8 BGR and a SECOND jitted program converts to 4:2:0 — XLA
-        # fuses the f32 yuv tail poorly downstream of a pallas_call
-        # (16.0 vs 13.0 ms/chunk, BENCHMARKS round 4), and quantize-then-
-        # convert is exactly what the bgr download + mp4 writer compute.
-        # The repair leg keeps the same chain so repaired chunks match.
-        chain_yuv = pallas_gather and out_format == "yuv420"
+        # Chained yuv420 (v2 window-gather path only): that composite
+        # program emits uint8 BGR and a SECOND jitted program converts to
+        # 4:2:0 — XLA fuses the f32 yuv tail poorly downstream of the v2
+        # pallas_call (16.0 vs 13.0 ms/chunk, BENCHMARKS round 4). The
+        # round-5 FUSED kernel inverts this: its in-program yuv measures
+        # 7.25 ms vs 9.99 chained, so the fused default is ONE program
+        # again. The repair leg keeps the same shape so repaired chunks
+        # match.
+        chain_yuv = (pallas_gather and not pallas_fused
+                     and out_format == "yuv420")
 
-        def run(i1=i1, i2=i2, mm1=mm1, mm2=mm2, n=e - s, pg=pallas_gather):
+        def run(i1=i1, i2=i2, mm1=mm1, mm2=mm2, n=e - s,
+                pg=pallas_gather, pf=pallas_fused):
             chunk_fmt = "bgr" if chain_yuv else out_format
             fused, viol = _composite_chunk(i1, i2, mm1, mm2, offset,
                                            (canvas.pad_h, canvas.pad_w),
@@ -327,6 +371,7 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                                            coord_stride=getattr(
                                                config, "coord_stride", 1),
                                            pallas_gather=pg,
+                                           pallas_fused=pf,
                                            shard_mesh=shard_mesh)
             if chain_yuv:
                 from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
@@ -350,7 +395,8 @@ def composite_begin(img1: np.ndarray, img2: np.ndarray,
                 pass
         # the repair closure retains the chunk's device inputs only while
         # the pallas path (whose rare window overflows it repairs) is on
-        repair = (lambda r=run: r(pg=False)[0]) if pallas_gather else None
+        repair = ((lambda r=run: r(pg=False, pf=False)[0])
+                  if (pallas_gather or pallas_fused) else None)
         pending.append((cropped, viol, repair))
     return pending, canvas, out_format, (oh, ow)
 

@@ -66,13 +66,22 @@ class OnlineStitcher:
         self.canvas_margin = canvas_margin
         self.emit_format = emit_format
         self.cfg: StitchConfig = stitcher.config
-        # same auto policy as compositor.composite_begin: the v2 window-
-        # gather kernel on a single real TPU device; the viol flag rides
-        # the per-push fetch (with the extents) so a rare overflow repairs
-        # by re-dispatching that batch through the XLA gather
+        # same auto policy as compositor.composite_begin: the ONE-program
+        # fused warp kernel on a single real TPU device (round 5; the v2
+        # window gather only when the fused path is off); the viol flag
+        # rides the per-push fetch (with the extents) so a rare overflow
+        # repairs by re-dispatching that batch through the XLA gather
+        pf = getattr(self.cfg, "pallas_fused", None)
+        if pf is None:
+            pf = (self.cfg.warp_mode == "NORMAL"
+                  and getattr(self.cfg, "coord_stride", 1) == 1
+                  and jax.default_backend() == "tpu"
+                  and stitcher.mesh is None)
+        self._pallas_fused = bool(pf)
         pg = getattr(self.cfg, "pallas_gather", None)
         if pg is None:
-            pg = (self.cfg.warp_mode == "NORMAL"
+            pg = (not self._pallas_fused
+                  and self.cfg.warp_mode == "NORMAL"
                   and jax.default_backend() == "tpu"
                   and stitcher.mesh is None)
         self._pallas_gather = bool(pg)
@@ -224,7 +233,8 @@ class OnlineStitcher:
             self._establish_canvas(m1, m2, 0, 0)
         self.reanchor_frames.append(self._t)
 
-    def _enqueue_composite(self, hi1, hi2, m1, m2, pallas_gather=None):
+    def _enqueue_composite(self, hi1, hi2, m1, m2, pallas_gather=None,
+                           pallas_fused=None):
         """Dispatch one BATCH of composites against the CURRENT canvas and
         return (cropped device planes, device extents, viol flag) without
         any host sync — the caller fetches everything together (one round
@@ -234,11 +244,12 @@ class OnlineStitcher:
         c = self.canvas
         if pallas_gather is None:
             pallas_gather = self._pallas_gather
-        # chained yuv420 on the window-gather path: the composite emits
-        # uint8 BGR and a second jitted program converts — same shape and
-        # rationale as compositor.composite_begin (13.0 vs 16.0 ms, and
-        # quantize-then-convert matches the bgr emit + encoder chain)
-        chain_yuv = self._pallas_gather and self.emit_format == "i420"
+        if pallas_fused is None:
+            pallas_fused = self._pallas_fused
+        # chained yuv420 on the v2 window-gather path only: the fused
+        # kernel's in-program yuv is faster than the chain (round 5)
+        chain_yuv = (self._pallas_gather and not self._pallas_fused
+                     and self.emit_format == "i420")
         fmt = ("yuv420" if self.emit_format == "i420" and not chain_yuv
                else "bgr")
         fused, viol = _composite_chunk(
@@ -248,6 +259,7 @@ class OnlineStitcher:
             grid_span=(c.out_h, c.out_w),
             out_format=fmt,
             pallas_gather=pallas_gather,
+            pallas_fused=pallas_fused,
             # under dp the coords kernel must be shard_mapped, never a
             # bare pallas_call on sharded inputs (B=1/WINDOW rarely
             # divides the axis, so this usually selects the jnp path)
@@ -310,10 +322,11 @@ class OnlineStitcher:
         # round trips — batching it is most of the burst. Cost: a second
         # compiled composite program (B=WINDOW, used once per stream) next
         # to the steady-state B=1 program.
-        def run(pg=None):
+        def run(pg=None, pf=None):
             fetched = jax.device_get(
                 [self._enqueue_composite(his1, his2, m1, m2,
-                                         pallas_gather=pg)])
+                                         pallas_gather=pg,
+                                         pallas_fused=pf)])
             if pg is None and any(bool(v) for _, _, v in fetched):
                 # rare window-gather overflow (exact zeros, flagged):
                 # repair by re-dispatching through the XLA gather
@@ -328,7 +341,8 @@ class OnlineStitcher:
                     RuntimeWarning)
                 fetched = jax.device_get(
                     [self._enqueue_composite(his1, his2, m1, m2,
-                                             pallas_gather=False)])
+                                             pallas_gather=False,
+                                             pallas_fused=False)])
             return fetched
 
         fetched = run()

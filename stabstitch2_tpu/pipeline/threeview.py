@@ -110,11 +110,13 @@ def chain_meshes(pair_meshes: List[Tuple[jnp.ndarray, jnp.ndarray]],
 @functools.partial(jax.jit, static_argnames=("out_size", "warp_mode",
                                              "fusion_mode", "out_format",
                                              "coord_stride",
-                                             "pallas_gather", "shard_mesh"))
+                                             "pallas_gather", "pallas_fused",
+                                             "shard_mesh"))
 def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
                            fusion_mode, grid_span, out_format: str = "bgr",
                            coord_stride: int = 1,
                            pallas_gather: bool = False,
+                           pallas_fused: bool = False,
                            shard_mesh=None):
     """Warp+fuse one chunk of an N-view chain as ONE device program.
 
@@ -152,8 +154,8 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
         grid_span=(span_h, span_w),
         use_pallas=(pallas_available() if coord_stride == 1 else None),
         coord_stride=coord_stride,
-        use_pallas_gather=pallas_gather, return_viol=True,
-        shard_mesh=shard_mesh)
+        use_pallas_gather=pallas_gather, use_pallas_fused=pallas_fused,
+        return_viol=True, shard_mesh=shard_mesh)
     warped = warped.reshape(V, B, oh, ow, 3)
     masks = masks.reshape(V, B, oh, ow)
     # cascaded fusion left -> right (reference :486-503)
@@ -178,6 +180,7 @@ def _composite_chain_chunk(imgs, meshes, offset, out_size, warp_mode,
 def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
                           chunk: int = 8,
                           pallas_gather: Optional[bool] = None,
+                          pallas_fused: Optional[bool] = None,
                           shard_mesh=None,
                           n_frames: Optional[int] = None):
     """Enqueue the whole N-view composite; d2h copies requested async.
@@ -199,15 +202,23 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
     T, H, W = images[0].shape[0], images[0].shape[1], images[0].shape[2]
     if n_frames is None:
         n_frames = T
+    import jax
+
+    if pallas_fused is None:
+        pallas_fused = getattr(config, "pallas_fused", None)
+    if pallas_fused is None:
+        # Auto: same policy as compositor.composite_begin — the ONE-
+        # program fused warp kernel on TPU (exact-or-zero + repaired at
+        # finish), the XLA packed-patch gather elsewhere (round 5).
+        pallas_fused = (config.warp_mode == "NORMAL"
+                        and getattr(config, "coord_stride", 1) == 1
+                        and jax.default_backend() == "tpu")
     if pallas_gather is None:
         pallas_gather = getattr(config, "pallas_gather", None)
     if pallas_gather is None:
-        # Auto: same policy as compositor.composite_begin — the v2
-        # window-gather kernel on a single real TPU device (exact-or-zero
-        # + repaired at finish), the XLA packed-patch gather elsewhere.
-        import jax
-
-        pallas_gather = (config.warp_mode == "NORMAL"
+        # v2 window-gather: auto only when the fused kernel is off
+        pallas_gather = (not pallas_fused
+                         and config.warp_mode == "NORMAL"
                          and jax.default_backend() == "tpu")
     out_format = getattr(config, "download_format", "bgr")
     stacked = jnp.concatenate(meshes, axis=0)  # all views' frames
@@ -262,18 +273,19 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
         # normalize by the TRUE canvas extents (grid_span), not the padded
         # bucket — TPS is only similarity-invariant, so the padded extent
         # must not leak in (same invariant as the 2-view compositor)
-        # chained yuv420 on the window-gather path: same two-program shape
-        # and rationale as compositor.composite_begin
-        chain_yuv = pallas_gather and out_format == "yuv420"
+        # chained yuv420 on the v2 window-gather path only: the fused
+        # kernel's in-program yuv is faster than the chain (round 5)
+        chain_yuv = (pallas_gather and not pallas_fused
+                     and out_format == "yuv420")
 
-        def run(iv=iv, mv=mv, n=e - s, pg=pallas_gather):
+        def run(iv=iv, mv=mv, n=e - s, pg=pallas_gather, pf=pallas_fused):
             chunk_fmt = "bgr" if chain_yuv else out_format
             fused, viol = _composite_chain_chunk(
                 iv, mv, offset, (canvas.pad_h, canvas.pad_w),
                 config.warp_mode, config.fusion_mode, grid_span=grid_span,
                 out_format=chunk_fmt,
                 coord_stride=getattr(config, "coord_stride", 1),
-                pallas_gather=pg, shard_mesh=shard_mesh)
+                pallas_gather=pg, pallas_fused=pf, shard_mesh=shard_mesh)
             if chain_yuv:
                 from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
 
@@ -295,7 +307,8 @@ def composite_chain_begin(images, meshes: List[jnp.ndarray], config,
                 pass
         # repair closure: retains this chunk's device inputs only while
         # the window-gather kernel (whose rare overflows it repairs) is on
-        repair = (lambda r=run: r(pg=False)[0]) if pallas_gather else None
+        repair = ((lambda r=run: r(pg=False, pf=False)[0])
+                  if (pallas_gather or pallas_fused) else None)
         pending.append((cropped, viol, repair))
     return pending, canvas, out_format, n_frames
 

@@ -462,3 +462,185 @@ class TestPallasPatchGather:
             self._im(), x, y, (self.OH, self.OW), interpret=True)
         got = np.asarray(got).reshape(self.B, -1, 3)
         np.testing.assert_array_equal(got[:, :7], 0.0)
+
+
+class TestFusedWarp:
+    """ONE-program composite warp (ops/pallas_fused.py, interpret mode on
+    CPU): TPS eval + window gather + weighted combine vs the XLA
+    formulation (tps_sample_coords + bilinear_sample_patch_u8 +
+    bilinear_mask). Contract: <= 1 uint8 LSB from FMA contraction /
+    per-tile association, exact zeros at dead pixels, exact-or-zero +
+    flag on window overflow."""
+
+    B, H, W = 3, 120, 160
+    OH, OW = 144, 256
+    SPAN = (140, 250)
+
+    def _setup(self, seed=0, mesh_shift=10.0):
+        from stabstitch2_tpu.ops.mesh import (mesh_points, normalize_mesh,
+                                              rigid_mesh)
+        from stabstitch2_tpu.ops.tps import tps_params
+
+        rng = np.random.default_rng(seed)
+        im = jnp.asarray(rng.integers(0, 255, (self.B, self.H, self.W, 3)),
+                         jnp.uint8)
+        xs = jnp.linspace(0.0, self.W, 9)
+        ys = jnp.linspace(0.0, self.H, 7)
+        base = jnp.stack(jnp.meshgrid(xs, ys), -1)[None]
+        mesh = base + jnp.asarray(rng.normal(0, 2.0, (self.B, 7, 9, 2)),
+                                  jnp.float32) + mesh_shift
+        norm = mesh_points(normalize_mesh(mesh, *self.SPAN))
+        rigid = rigid_mesh(self.H, self.W, dtype=jnp.float32)
+        nrig = jnp.broadcast_to(
+            mesh_points(normalize_mesh(rigid, self.H, self.W))[None],
+            norm.shape)
+        return im, tps_params(norm, nrig), norm
+
+    def _xla_ref(self, im, T, norm):
+        from stabstitch2_tpu.ops.interp import (bilinear_mask,
+                                                bilinear_sample_patch_u8)
+        from stabstitch2_tpu.ops.tps import tps_sample_coords
+
+        x_s, y_s = tps_sample_coords(T, norm, (self.OH, self.OW),
+                                     grid_span=self.SPAN)
+        ref = bilinear_sample_patch_u8(im, x_s, y_s).reshape(
+            self.B, self.OH, self.OW, 3)
+        mref = bilinear_mask(self.H, self.W, x_s, y_s).reshape(
+            self.B, self.OH, self.OW)
+        return np.asarray(ref), np.asarray(mref)
+
+    def test_matches_xla_within_lsb(self):
+        from stabstitch2_tpu.ops.pallas_fused import fused_warp_planes
+
+        im, T, norm = self._setup()
+        ref, mref = self._xla_ref(im, T, norm)
+        pb, pg, pr, mask, viol = fused_warp_planes(
+            im, T, norm, (self.OH, self.OW), grid_span=self.SPAN,
+            interpret=True)
+        assert not bool(viol)
+        got = np.stack([np.asarray(pb), np.asarray(pg), np.asarray(pr)], -1)
+        np.testing.assert_allclose(np.asarray(mask), mref, atol=1e-3)
+        ru = np.clip(np.round(ref), 0, 255).astype(np.int16)
+        gu = np.clip(np.round(got), 0, 255).astype(np.int16)
+        d = np.abs(ru - gu)
+        assert d.max() <= 1, d.max()
+        assert (d > 0).mean() < 5e-3, (d > 0).mean()
+        # dead pixels (zero coverage) are exact zeros
+        dead = mref <= 0.0
+        assert dead.any()
+        np.testing.assert_array_equal(got[dead], 0.0)
+
+    def test_mesh_far_outside_is_all_zero(self):
+        from stabstitch2_tpu.ops.pallas_fused import fused_warp_planes
+
+        im, T, norm = self._setup(mesh_shift=900.0)
+        pb, pg, pr, mask, viol = fused_warp_planes(
+            im, T, norm, (self.OH, self.OW), grid_span=self.SPAN,
+            interpret=True)
+        got = np.stack([np.asarray(pb), np.asarray(pg), np.asarray(pr)], -1)
+        np.testing.assert_array_equal(got, 0.0)
+        assert not bool(viol)
+
+    def test_window_overflow_flags_and_zeros(self):
+        """A window too small for the warp span must flag + zero, never
+        emit garbage (same contract as the v2 gather)."""
+        from stabstitch2_tpu.ops.pallas_fused import fused_warp_planes
+
+        im, T, norm = self._setup()
+        ref, mref = self._xla_ref(im, T, norm)
+        pb, pg, pr, mask, viol = fused_warp_planes(
+            im, T, norm, (self.OH, self.OW), grid_span=self.SPAN,
+            nt=2, nct=1, interpret=True)
+        assert bool(viol)
+        got = np.stack([np.asarray(pb), np.asarray(pg), np.asarray(pr)], -1)
+        ok = np.isclose(got, ref, atol=1.0).all(axis=-1)
+        zeroed = (got == 0.0).all(axis=-1)
+        assert (ok | zeroed).all()
+        assert (~ok & zeroed).any()
+        assert ok.any()
+
+    def test_composite_chunk_fused_matches_xla(self):
+        """End-to-end _composite_chunk parity: pallas_fused vs XLA, both
+        output formats."""
+        from stabstitch2_tpu.pipeline.compositor import _composite_chunk
+
+        rng = np.random.default_rng(4)
+        Bc, H, W = 2, 120, 160
+        i1 = jnp.asarray(rng.integers(0, 255, (Bc, H, W, 3)), jnp.uint8)
+        i2 = jnp.asarray(rng.integers(0, 255, (Bc, H, W, 3)), jnp.uint8)
+        xs, ys = jnp.linspace(0.0, W, 9), jnp.linspace(0.0, H, 7)
+        base = jnp.stack(jnp.meshgrid(xs, ys), -1)[None]
+        m1 = base + jnp.asarray(rng.normal(0, 2.0, (Bc, 7, 9, 2)),
+                                jnp.float32)
+        m2 = m1 + 12.0
+        offset = jnp.asarray([-8.0, -8.0], jnp.float32)
+        kw = dict(grid_span=(180, 200), coord_stride=1)
+        # coverage: pixels outside BOTH views are exact zeros on the fused
+        # path, while the XLA path's huge-weight cancellation there leaves
+        # f32 residual speckle (reference-faithful; PARITY.md) — compare
+        # covered pixels at <= 1 LSB and require clean zeros elsewhere
+        from stabstitch2_tpu.ops.interp import bilinear_mask
+        from stabstitch2_tpu.ops.mesh import (mesh_points, normalize_mesh,
+                                              rigid_mesh)
+        from stabstitch2_tpu.ops.tps import tps_params, tps_sample_coords
+
+        n1 = mesh_points(normalize_mesh(m1 - offset, 180, 200))
+        n2 = mesh_points(normalize_mesh(m2 - offset, 180, 200))
+        rigid = rigid_mesh(H, W, dtype=jnp.float32)
+        nr = jnp.broadcast_to(
+            mesh_points(normalize_mesh(rigid, H, W))[None], n1.shape)
+        src = jnp.concatenate([n1, n2], 0)
+        tgt = jnp.concatenate([nr, nr], 0)
+        x_s, y_s = tps_sample_coords(tps_params(src, tgt), src, (192, 256),
+                                     grid_span=(180, 200))
+        m = np.asarray(bilinear_mask(H, W, x_s, y_s)).reshape(
+            2 * Bc, 192, 256)
+        covered = (m[:Bc] > 1e-3) | (m[Bc:] > 1e-3)   # [Bc, 192, 256]
+
+        for fmt in ("bgr", "yuv420"):
+            ref, _ = _composite_chunk(i1, i2, m1, m2, offset, (192, 256),
+                                      "NORMAL", "AVERAGE", out_format=fmt,
+                                      **kw)
+            got, viol = _composite_chunk(i1, i2, m1, m2, offset, (192, 256),
+                                         "NORMAL", "AVERAGE",
+                                         out_format=fmt, pallas_fused=True,
+                                         **kw)
+            assert not bool(viol)
+            for pi, (r, g) in enumerate(zip(jax.tree_util.tree_leaves(ref),
+                                            jax.tree_util.tree_leaves(got))):
+                r = np.asarray(r).astype(np.int16)
+                g = np.asarray(g).astype(np.int16)
+                d = np.abs(r - g)
+                if d.shape[1] == 192:       # full-res plane (bgr or Y)
+                    cov = covered
+                else:                       # 2x2-subsampled U/V plane
+                    cov = covered.reshape(Bc, 96, 2, 128, 2).any((2, 4))
+                cov = np.broadcast_to(cov.reshape(cov.shape + (1,) * (
+                    d.ndim - 3)), d.shape)
+                assert d[cov].max() <= 1, (fmt, pi, d[cov].max())
+
+    def test_composite_chunk_fused_linear_fusion(self):
+        from stabstitch2_tpu.pipeline.compositor import _composite_chunk
+
+        rng = np.random.default_rng(5)
+        Bc, H, W = 1, 120, 160
+        i1 = jnp.asarray(rng.integers(0, 255, (Bc, H, W, 3)), jnp.uint8)
+        i2 = jnp.asarray(rng.integers(0, 255, (Bc, H, W, 3)), jnp.uint8)
+        xs, ys = jnp.linspace(0.0, W, 9), jnp.linspace(0.0, H, 7)
+        base = jnp.stack(jnp.meshgrid(xs, ys), -1)[None]
+        m1 = base + jnp.asarray(rng.normal(0, 1.5, (Bc, 7, 9, 2)),
+                                jnp.float32)
+        m2 = m1 + 15.0
+        offset = jnp.asarray([-8.0, -8.0], jnp.float32)
+        kw = dict(grid_span=(180, 200), coord_stride=1)
+        ref, _ = _composite_chunk(i1, i2, m1, m2, offset, (192, 256),
+                                  "NORMAL", "LINEAR", **kw)
+        got, viol = _composite_chunk(i1, i2, m1, m2, offset, (192, 256),
+                                     "NORMAL", "LINEAR", pallas_fused=True,
+                                     **kw)
+        assert not bool(viol)
+        d = np.abs(np.asarray(ref).astype(np.int16)
+                   - np.asarray(got).astype(np.int16))
+        # LINEAR's blend mask feeds a Gaussian blur; the <=1-LSB plane
+        # deltas stay <=1 LSB through the convex blend
+        assert d.max() <= 1, d.max()
