@@ -383,27 +383,21 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
           for i in range(reps + 1)}
     offset = jnp.asarray([-10.0, -10.0], jnp.float32)
 
-    def comp(i, pallas_gather=False, out_format="yuv420"):
+    def comp(i, pallas_gather=False, pallas_fused=False,
+             out_format="yuv420"):
         i1, i2, m1, m2 = ci[i]
         return _composite_chunk(i1, i2, m1, m2, offset, (PAD_H, PAD_W),
                                 cfg.warp_mode, cfg.fusion_mode,
                                 grid_span=(PAD_H - 4, PAD_W - 4),
                                 out_format=out_format,
                                 coord_stride=cfg.coord_stride,
-                                pallas_gather=pallas_gather)
+                                pallas_gather=pallas_gather,
+                                pallas_fused=pallas_fused)
 
-    # production default (round 4): the v2 Mosaic window-gather kernel
-    # (exact-or-zero + XLA repair of never-observed overflows) as the
-    # CHAINED pair the pipeline actually dispatches for yuv420 downloads —
-    # bgr-u8 chunk program + separate yuv-from-u8 program (13.0 vs 16.0
-    # ms/chunk unchained; BENCHMARKS.md round 4, round-4 advisor finding)
-    from stabstitch2_tpu.ops.yuv import bgr_u8_to_yuv420_jit
-
-    def comp_chained(i):
-        fused, viol = comp(i, pallas_gather=True, out_format="bgr")
-        return bgr_u8_to_yuv420_jit(fused), viol
-
-    cp = timeit(comp_chained)
+    # production default (round 5): the fused ONE-program warp kernel
+    # (ops/pallas_fused.py — TPS eval + window gather + combine + in-
+    # program yuv420; exact-or-zero + XLA repair of rare overflows)
+    cp = timeit(lambda i: comp(i, pallas_fused=True))
     # the exact XLA packed-patch gather (CPU/GSPMD path, in-program yuv —
     # what that path deploys), for the A/B record in the JSON
     cp_xla = timeit(comp)
@@ -419,7 +413,7 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
                                            lo[2 * i], lo[2 * i + 1]))
 
     n_chunks = -(-T // chunk)
-    # production default (round 4): fused motion + window-gather composite;
+    # production default (round 5): fused motion + fused-warp composite;
     # the eager-motion pair is the --eager_motion attribution path
     total_fused = mf + sm + cp * n_chunks
     total_eager = sp + 2 * tp + sm + cp * n_chunks
@@ -438,14 +432,19 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
                      mo[2], mo[3])
     if c_sm:
         roofline["smooth"] = _roofline(sm, c_sm, PEAK_MXU_BF16)
-    # composite (per chunk, 2 views = 2B images, padded canvas OHxOW):
-    #  - TPS coords kernel: P=63 control points x ~12 VPU flops (dx, dy,
+    # composite (per chunk, 2 views = 2B images, padded canvas OHxOW),
+    # round-5 fused one-program kernel (ops/pallas_fused.py):
+    #  - in-kernel TPS eval: P=63 control points x ~12 VPU flops (dx, dy,
     #    d2, r = d2*log(d2+eps), 2 FMA accumulates per direction) per
     #    output pixel per image — pure VPU work
-    #  - window gather: NT*NCT (8,128) int32 tiles DMA'd per canvas block
-    #    regardless of the dynamic trip count (BlockSpec prefetch)
-    #  - the XLA epilogue (weights/mask/fusion/yuv) from cost analysis
-    P_CTRL, NT_, NCT_ = 63, 16, 3
+    #  - source window: nt*nct (8,128) int32 tiles DMA'd per canvas block
+    #    as one pl.Element window (fetched regardless of the in-kernel
+    #    exact trip count)
+    #  - the XLA epilogue (fusion/yuv) from cost analysis
+    from stabstitch2_tpu.ops.pallas_fused import fused_window_tiles
+
+    P_CTRL = 63
+    NT_, NCT_ = fused_window_tiles(H, W)
     n_img = 2 * chunk
     hw = PAD_H * PAD_W
     coords_flops = n_img * hw * P_CTRL * 12.0
@@ -454,7 +453,7 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
     c_cp = _xla_cost(_composite_chunk, *ci[0], offset, (PAD_H, PAD_W),
                      cfg.warp_mode, cfg.fusion_mode,
                      grid_span=(PAD_H - 4, PAD_W - 4), out_format="bgr",
-                     coord_stride=cfg.coord_stride, pallas_gather=True)
+                     coord_stride=cfg.coord_stride, pallas_fused=True)
     cost_cp = {"flops": coords_flops + (c_cp or {}).get("flops", 0.0),
                "bytes": win_bytes + (c_cp or {}).get("bytes", 0.0)}
     # the composite's compute is VPU (spline + gather selects), not MXU

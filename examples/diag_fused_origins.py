@@ -104,32 +104,14 @@ def main():
         y2 = blockpad(y0i, 0)
         x2 = blockpad(x0i, 0)
 
-        # mirror fused_warp_planes' lattice origins exactly
-        dtype = jnp.float32
-        step_x = _span_step(jnp.float32(span_w), dtype)
-        step_y = _span_step(jnp.float32(span_h), dtype)
-        lat_x = -1.0 + step_x * (COLS * jnp.arange(ncb + 1, dtype=dtype))
-        lat_y = -1.0 + step_y * (ROWS * jnp.arange(nrb + 1, dtype=dtype))
-        L = (nrb + 1) * (ncb + 1)
-        glx = jnp.broadcast_to(jnp.tile(lat_x[None, :], (nrb + 1, 1))
-                               .reshape(-1)[None], (BB, L))
-        gly = jnp.broadcast_to(jnp.tile(lat_y[:, None], (1, ncb + 1))
-                               .reshape(-1)[None], (BB, L))
-        rows = _eval_grid_rows(glx, gly, source)
-        lat = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)
-        xf_l = np.asarray(jnp.clip((lat[:, 0] + 1.0) * (W / 2.0), 0.0,
-                                   W - 1)).reshape(BB, nrb + 1, ncb + 1)
-        yf_l = np.asarray(jnp.clip((lat[:, 1] + 1.0) * (H / 2.0), 0.0,
-                                   H - 1)).reshape(BB, nrb + 1, ncb + 1)
-
-        def cmin(a):
-            return np.minimum(np.minimum(a[:, :-1, :-1], a[:, 1:, :-1]),
-                              np.minimum(a[:, :-1, 1:], a[:, 1:, 1:]))
-
-        ymin = np.floor(cmin(yf_l)).astype(np.int64) - pf.MARGIN_Y
-        xmin = np.floor(cmin(xf_l)).astype(np.int64) - pf.MARGIN_X
-        roff = np.clip(ymin // RWIN, 0, HP // RWIN - nt) * RWIN
-        coff = np.clip(xmin // COLS, 0, WP // COLS - nct) * COLS
+        # the wrapper's ACTUAL origin computation (shared helper)
+        from stabstitch2_tpu.ops.tps import _span_step as _ss
+        step_x = _ss(jnp.float32(span_w), jnp.float32)
+        step_y = _ss(jnp.float32(span_h), jnp.float32)
+        roff_t, coff_t = pf.window_origins(
+            T, source, nrb, ncb, (H, W), (HP, WP), nt, nct, step_x, step_y)
+        roff = np.asarray(roff_t) * RWIN
+        coff = np.asarray(coff_t) * COLS
 
         def expand(v):
             return np.repeat(np.repeat(v, ROWS, 1), COLS, 2)

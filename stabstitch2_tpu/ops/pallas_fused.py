@@ -288,6 +288,59 @@ def _fused_planes(padded: jnp.ndarray, T: jnp.ndarray, source: jnp.ndarray,
     )(roff_t, coff_t, T, source, gx2, gy2, padded)
 
 
+def window_origins(T, source, nrb: int, ncb: int, im_hw, padded_hw,
+                   nt: int, nct: int, step_x, step_y):
+    """Per-block window origins (TILE units) from a block-boundary lattice.
+
+    The lattice's x pitch is COLS/2 = 64 px, not the 128-px block width:
+    TPS control-point spacing is ~65 px at production canvases, so the
+    spline bends measurably BETWEEN 128-px-apart samples — a corner-only
+    lattice under-estimated block minima by up to 43 px on real meshes
+    (examples/diag_fused_origins.py), overflowing the placed window and
+    triggering whole-chunk XLA repairs. Halving the pitch cuts the
+    interpolation error ~4x; the y pitch (8 px) is already fine. These
+    are ESTIMATES placing the fetched window + margins: misses are
+    exact-zeroed + flagged + repaired by the caller, never wrong. The
+    kernel's loop bounds come from the exact in-register corner rows, so
+    margins cost DMA bytes, never loop trips.
+    """
+    from stabstitch2_tpu.ops.precision import HIGHEST
+    from stabstitch2_tpu.ops.tps import _eval_grid_rows
+
+    B = T.shape[0]
+    H, W = im_hw
+    HP, WP = padded_hw
+    dtype = T.dtype
+    nlx = 2 * ncb + 1
+    lat_x = -1.0 + step_x * ((COLS // 2) * jnp.arange(nlx, dtype=dtype))
+    lat_y = -1.0 + step_y * (ROWS * jnp.arange(nrb + 1, dtype=dtype))
+    L = (nrb + 1) * nlx
+    glx = jnp.broadcast_to(jnp.tile(lat_x[None, :], (nrb + 1, 1))
+                           .reshape(-1)[None], (B, L))
+    gly = jnp.broadcast_to(jnp.tile(lat_y[:, None], (1, nlx))
+                           .reshape(-1)[None], (B, L))
+    rows = _eval_grid_rows(glx, gly, source)         # [B, P+3, L]
+    lat = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)
+    xf_l = jnp.clip((lat[:, 0] + 1.0) * (W / 2.0), 0.0, W - 1)
+    yf_l = jnp.clip((lat[:, 1] + 1.0) * (H / 2.0), 0.0, H - 1)
+    xf_l = xf_l.reshape(B, nrb + 1, nlx)
+    yf_l = yf_l.reshape(B, nrb + 1, nlx)
+
+    def corner_min(a):
+        # min over each block's 6 lattice points: rows {i, i+1} x cols
+        # {2j, 2j+1, 2j+2}
+        ymin2 = jnp.minimum(a[:, :-1], a[:, 1:])     # [B, nrb, nlx]
+        return jnp.minimum(jnp.minimum(ymin2[:, :, 0:-2:2],
+                                       ymin2[:, :, 1:-1:2]),
+                           ymin2[:, :, 2::2])
+
+    ymin = jnp.floor(corner_min(yf_l)).astype(jnp.int32) - MARGIN_Y
+    xmin = jnp.floor(corner_min(xf_l)).astype(jnp.int32) - MARGIN_X
+    roff_t = jnp.clip(ymin // RWIN, 0, HP // RWIN - nt)
+    coff_t = jnp.clip(xmin // COLS, 0, WP // COLS - nct)
+    return roff_t, coff_t
+
+
 def fused_warp_planes(im: jnp.ndarray, T: jnp.ndarray, source: jnp.ndarray,
                       out_size: Tuple[int, int], grid_span=None,
                       nt: int | None = None, nct: int | None = None,
@@ -363,35 +416,8 @@ def fused_warp_planes(im: jnp.ndarray, T: jnp.ndarray, source: jnp.ndarray,
     gx2 = jnp.tile(gx_row[None, :], (ROWS, 1))
     gy2 = jnp.tile(gy_col[:, None], (1, COLS))
 
-    # ---- window origins from the block-corner lattice (estimates) ----
-    from stabstitch2_tpu.ops.precision import HIGHEST
-    from stabstitch2_tpu.ops.tps import _eval_grid_rows
-
-    lat_x = -1.0 + step_x * (COLS * jnp.arange(ncb + 1, dtype=dtype))
-    lat_y = -1.0 + step_y * (ROWS * jnp.arange(nrb + 1, dtype=dtype))
-    L = (nrb + 1) * (ncb + 1)
-    glx = jnp.broadcast_to(jnp.tile(lat_x[None, :], (nrb + 1, 1))
-                           .reshape(-1)[None], (B, L))
-    gly = jnp.broadcast_to(jnp.tile(lat_y[:, None], (1, ncb + 1))
-                           .reshape(-1)[None], (B, L))
-    rows = _eval_grid_rows(glx, gly, source)         # [B, P+3, L]
-    lat = jnp.einsum("bij,bjn->bin", T, rows, precision=HIGHEST)
-    xf_l = jnp.clip((lat[:, 0] + 1.0) * (W / 2.0), 0.0, W - 1)
-    yf_l = jnp.clip((lat[:, 1] + 1.0) * (H / 2.0), 0.0, H - 1)
-    xf_l = xf_l.reshape(B, nrb + 1, ncb + 1)
-    yf_l = yf_l.reshape(B, nrb + 1, ncb + 1)
-
-    def corner_min(a):
-        return jnp.minimum(jnp.minimum(a[:, :-1, :-1], a[:, 1:, :-1]),
-                           jnp.minimum(a[:, :-1, 1:], a[:, 1:, 1:]))
-
-    # margins only place the fetched window (bad rate); the kernel's loop
-    # bounds are computed in-register from the exact y0l, so a generous
-    # margin costs DMA bytes, never loop trips
-    ymin = jnp.floor(corner_min(yf_l)).astype(jnp.int32) - MARGIN_Y
-    xmin = jnp.floor(corner_min(xf_l)).astype(jnp.int32) - MARGIN_X
-    roff_t = jnp.clip(ymin // RWIN, 0, HP // RWIN - nt)
-    coff_t = jnp.clip(xmin // COLS, 0, WP // COLS - nct)
+    roff_t, coff_t = window_origins(T, source, nrb, ncb, (H, W),
+                                    (HP, WP), nt, nct, step_x, step_y)
 
     out = _fused_planes(padded, T, source, gx2, gy2,
                         roff_t.reshape(-1).astype(jnp.int32),
