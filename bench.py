@@ -178,6 +178,13 @@ def main():
         # (`link_bound_fps_ceiling`, measured in-run); the chip itself
         # executes at `device_fps_equiv` (slope-measured, link-free)
         "link_bound_fps_ceiling": round(link_ceiling, 2),
+        # the ceiling is computed from the POST-run calibration; a wall
+        # value above it means the winning pass ran in a faster link
+        # window than the calibration did (the relay swings ~2x on minute
+        # timescales) — it attributes sub-baseline walls, it does not
+        # bound good ones
+        "link_ceiling_note": "post-run calibration; wall>ceiling means "
+                             "the winning pass saw a faster link window",
         "device_fps_equiv": dev["fps_equiv"],
         "device_compute_ms_per_video": dev["total_ms"],
         "escalated": escalated,
@@ -270,14 +277,14 @@ PEAK_VPU_F32 = float(os.environ.get("BENCH_PEAK_VPU", 3.9e12))   # FLOP/s
 PEAK_HBM = float(os.environ.get("BENCH_PEAK_HBM", 819e9))        # B/s
 
 
-def _xla_cost(fn, *args):
+def _xla_cost(fn, *args, **kwargs):
     """XLA's own FLOP/byte estimate for a jitted callable at these args.
 
     Returns {"flops", "bytes"} or None (remote backends may not expose
     cost analysis; Pallas custom calls are invisible to it — composite
     figures are computed analytically instead)."""
     try:
-        c = fn.lower(*args).compile().cost_analysis()
+        c = fn.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
         return {"flops": float(c.get("flops", 0.0)),
@@ -291,7 +298,7 @@ def _roofline(ms, cost, unit_peak):
     if not cost or ms <= 0:
         return None
     t = ms / 1e3
-    return {
+    out = {
         "gflops": round(cost["flops"] / 1e9, 2),
         "mbytes": round(cost["bytes"] / 1e6, 1),
         "tflops_achieved": round(cost["flops"] / t / 1e12, 3),
@@ -299,6 +306,16 @@ def _roofline(ms, cost, unit_peak):
         "pct_peak_compute": round(100 * cost["flops"] / t / unit_peak, 1),
         "pct_peak_hbm": round(100 * cost["bytes"] / t / PEAK_HBM, 1),
     }
+    if out["pct_peak_hbm"] > 100 or out["pct_peak_compute"] > 100:
+        # a >100% figure means the measured time is below the phase's
+        # hardware lower bound — the program is too small for slope
+        # timing through this link (sub-ms); the utilization figures are
+        # not meaningful at that scale
+        out["note_floor"] = ("measured ms below the hardware lower bound "
+                             "for the counted flops/bytes; program too "
+                             "small for slope timing (sub-ms) - treat "
+                             "utilization as unmeasured")
+    return out
 
 
 def measure_device_compute(st, frames: int = 48, chunk: int = 8,
@@ -354,8 +371,17 @@ def measure_device_compute(st, frames: int = 48, chunk: int = 8,
             _drain(outs[-1])
             return (time.time() - t0) * 1e3
 
+        # median of 3 slopes: one slope's signal (reps calls of a ms-scale
+        # program, ~45 ms for the composite) is comparable to the relay's
+        # drain round-trip variance (tens of ms run-to-run) — a single
+        # estimate once read the 7.4 ms/chunk fused composite as 1.1
+        # (round-5 session; /tmp probe reproduced 7.38 with the identical
+        # inputs in a controlled window). The A/B scripts in examples/
+        # cross-check these figures with independent harnesses.
         n_lo, n_hi = 2, 2 + reps
-        return (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
+        slopes = sorted((run(n_hi) - run(n_lo)) / (n_hi - n_lo)
+                        for _ in range(3))
+        return slopes[1]
 
     sp = timeit(lambda i: st._motion.spatial(lo[2 * i], lo[2 * i + 1]))
     tp = timeit(lambda i: st._motion.temporal(lo[2 * i]))
